@@ -1,0 +1,72 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+jax.sharding code runs unchanged on CPU, so multi-chip sharding logic gets real
+multi-device coverage without TPU hardware (the driver separately dry-runs the
+multichip path via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var; force CPU explicitly
+# so the suite runs on the virtual 8-device host mesh. Initialize the backend
+# eagerly (before any test imports torch) — torch-first initialization of the
+# TPU plugin can wedge.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REFERENCE_DIR = "/root/reference"
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_DIR)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
+
+
+def import_reference(module_name: str):
+    """Import a module from the reference checkout as a numerical oracle.
+
+    Shims `pkg_resources` (removed from modern setuptools) which the reference's
+    conv2d_gradfix imports for a torch version check.
+    """
+    import importlib
+    import sys
+    import types
+
+    if "pkg_resources" not in sys.modules:
+        try:
+            from packaging.version import parse as _parse
+        except Exception:  # pragma: no cover
+            def _parse(v):
+                return tuple(int(p) for p in v.split("+")[0].split(".") if p.isdigit())
+        shim = types.ModuleType("pkg_resources")
+        shim.parse_version = _parse
+        sys.modules["pkg_resources"] = shim
+
+    sys.path.insert(0, REFERENCE_DIR)
+    try:
+        return importlib.import_module(module_name)
+    finally:
+        sys.path.pop(0)
+
+
+def require_reference():
+    """Skip marker for oracle tests that compare against the PyTorch reference.
+
+    The reference checkout is used strictly as a black-box numerical oracle
+    (imported read-only, never copied).
+    """
+    return pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")

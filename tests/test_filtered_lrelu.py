@@ -1,0 +1,74 @@
+"""Tests for filtered_lrelu (fused up-filter-lrelu-down) vs the torch oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from long_video_gan_tpu.ops import filtered_lrelu
+from long_video_gan_tpu.ops.filters import design_kaiser_lowpass
+
+from conftest import has_reference
+
+
+def make_case(rng, up, down, taps_u, taps_d):
+    x = rng.standard_normal((2, 4, 8, 10)).astype(np.float32)
+    b = rng.standard_normal(4).astype(np.float32)
+    fu = design_kaiser_lowpass(taps_u, cutoff=1.0, width=2.0, fs=8.0) if taps_u else None
+    fd = design_kaiser_lowpass(taps_d, cutoff=1.0, width=2.0, fs=8.0) if taps_d else None
+    return x, b, fu, fd
+
+
+@pytest.mark.parametrize("up,down,taps_u,taps_d,padding", [
+    (1, 1, 0, 0, 0),
+    (2, 1, 12, 0, 6),
+    (1, 2, 0, 12, 8),
+    (2, 2, 12, 12, 10),
+    (2, 2, 12, 12, (3, 9, 4, 8)),
+])
+def test_output_shape_contract(up, down, taps_u, taps_d, padding, rng):
+    x, b, fu, fd = make_case(rng, up, down, taps_u, taps_d)
+    y = filtered_lrelu(jnp.asarray(x), fu, fd, jnp.asarray(b), up=up, down=down,
+                       padding=padding, clamp=256.0)
+    # Shape is asserted inside the op itself against the documented formula.
+    assert y.ndim == 4 and y.shape[:2] == (2, 4)
+
+
+def test_second_order_gradients(rng):
+    x, b, fu, fd = make_case(rng, 2, 2, 12, 12)
+    x, b = jnp.asarray(x), jnp.asarray(b)
+
+    def inner(x):
+        g = jax.grad(
+            lambda z: jnp.sum(filtered_lrelu(z, fu, fd, b, up=2, down=2, padding=10,
+                                             clamp=256.0) ** 2)
+        )(x)
+        return jnp.sum(g ** 2)
+
+    hg = jax.grad(inner)(x)
+    assert np.isfinite(np.asarray(hg)).all()
+
+
+@pytest.mark.skipif(not has_reference(), reason="reference repo not mounted")
+@pytest.mark.parametrize("up,down,taps_u,taps_d,padding", [
+    (1, 1, 0, 0, 0),
+    (2, 1, 12, 0, 6),
+    (2, 2, 12, 12, 10),
+    (2, 2, 12, 12, (3, 9, 4, 8)),
+])
+def test_matches_torch_reference(up, down, taps_u, taps_d, padding, rng):
+    import torch
+    from conftest import import_reference
+    _filtered_lrelu_ref = import_reference("torch_utils.ops.filtered_lrelu")._filtered_lrelu_ref
+
+    x, b, fu, fd = make_case(rng, up, down, taps_u, taps_d)
+    want = _filtered_lrelu_ref(
+        torch.from_numpy(x),
+        torch.from_numpy(fu) if fu is not None else None,
+        torch.from_numpy(fd) if fd is not None else None,
+        torch.from_numpy(b), up=up, down=down, padding=padding, clamp=256.0,
+    ).numpy()
+    got = filtered_lrelu(jnp.asarray(x), fu, fd, jnp.asarray(b), up=up, down=down,
+                         padding=padding, clamp=256.0)
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-4, atol=1e-4)
