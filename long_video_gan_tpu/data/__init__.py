@@ -1,0 +1,1 @@
+"""long_video_gan_tpu.data"""
