@@ -1,0 +1,90 @@
+"""Benchmark: super-resolution synthesis throughput on real TPU hardware.
+
+Headline metric (BASELINE.json): frames/sec/chip for 144x256 ("256x144") sres
+synthesis via the chunked sample_video_segments path — the production
+inference configuration (segment_length=16, temporal_context=4, full 14-layer
+SG3 with bf16 high-res layers).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is relative to the first TPU measurement recorded for this repo
+(BASELINE_FPS below); the reference repo publishes no numbers (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+# First real-TPU measurement of this implementation (round 1, v5e single chip).
+# Kept fixed so vs_baseline tracks speedups across rounds.
+BASELINE_FPS = 92.86
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from long_video_gan_tpu.models.generator_sres import VideoGenerator
+
+    segment = 16
+    context = 4
+    batch = 1
+    G = VideoGenerator(hr_height=144, hr_width=256, lr_height=36, lr_width=64,
+                       temporal_context=context, num_fp16_res=4,
+                       resample_impl="matrix")
+    lr_shape = (batch, 3, segment + 2 * context, 36, 64)
+
+    # Random-filled params at the exact init shapes (no slow init trace).
+    shapes = jax.eval_shape(
+        lambda: G.init({"params": jax.random.key(0), "noise": jax.random.key(1)},
+                       jnp.zeros(lr_shape, jnp.float32)))
+    rng = np.random.default_rng(0)
+    def fill(path, s):
+        name = "/".join(str(getattr(k, "key", k)) for k in path)
+        if "ema" in name or "magnitude" in name:
+            return np.ones(s.shape, s.dtype)
+        if np.issubdtype(s.dtype, np.floating):
+            return (rng.standard_normal(s.shape) * 0.1).astype(s.dtype)
+        return np.zeros(s.shape, s.dtype)
+
+    variables = jax.tree_util.tree_map_with_path(fill, shapes)
+    variables = jax.device_put(variables)
+
+    @jax.jit
+    def synth(variables, lr_video, z):
+        # Return a checksum: on the axon platform block_until_ready does not
+        # reliably wait for execution; a scalar device->host read does.
+        hr = G.apply(variables, lr_video, z=z)
+        return hr, jnp.sum(hr)
+
+    lr_video = jax.device_put(jnp.asarray(
+        rng.standard_normal(lr_shape).astype(np.float32) * 0.2))
+    z = jax.device_put(jnp.asarray(rng.standard_normal((batch, G.latent_z_dim)).astype(np.float32)))
+
+    # Warmup (compile + 2 steady-state runs).
+    for _ in range(3):
+        float(synth(variables, lr_video, z)[1])
+
+    iters = 10
+    start = time.perf_counter()
+    for _ in range(iters):
+        float(synth(variables, lr_video, z)[1])   # forced host readback per call
+    elapsed = time.perf_counter() - start
+
+    frames = batch * segment * iters
+    fps = frames / elapsed
+    print(json.dumps({
+        "metric": "sres_synthesis_frames_per_sec_per_chip_256x144",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / BASELINE_FPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -514,3 +514,22 @@ class VideoGenerator(nn.Module):
 
         return self.synthesize_video(temporal_input, latent_ws, seq_length,
                                      magnitude_ema_beta, dtype)
+
+
+def sample_video_segments(apply_fn, variables, batch_size: int, seq_length: int,
+                          segment_length: int = 8, noise=None, rng=None):
+    """Stream a long lres video in segments.
+
+    Mirrors the reference's mechanism (model/generator_lres.py:778-816): the
+    lres stage is cheap enough at 36x64 to synthesize the whole video through
+    all layers in one jitted call; only the *output* splits into segments for
+    downstream streaming (the sres stage is the one that genuinely windows its
+    input — generator_sres.sample_video_segments).
+    """
+    if noise is None:
+        assert rng is not None, "need noise or rng"
+        video = apply_fn(variables, batch_size, seq_length, rng)
+    else:
+        video = apply_fn(variables, batch_size, seq_length, noise=noise)
+    for start in range(0, video.shape[2], segment_length):
+        yield video[:, :, start:start + segment_length]

@@ -197,6 +197,7 @@ class SynthesisLayer(nn.Module):
     conv_clamp: Optional[float] = 256.0
     magnitude_ema_beta: float = 0.999
     half_dtype: Any = jnp.bfloat16
+    resample_impl: str = "conv"
 
     def setup(self):
         k = 1 if self.is_torgb else self.conv_kernel
@@ -262,7 +263,7 @@ class SynthesisLayer(nn.Module):
         x = filtered_lrelu(x, fu=self.up_filter, fd=self.down_filter,
                            b=self.bias.astype(x.dtype), up=self.up_factor,
                            down=self.down_factor, padding=self.padding, gain=gain,
-                           slope=slope, clamp=self.conv_clamp)
+                           slope=slope, clamp=self.conv_clamp, impl=self.resample_impl)
         assert_shape(x, (None, self.out_channels, int(self.out_size[1]), int(self.out_size[0])))
         assert x.dtype == dtype
         return x
@@ -319,6 +320,7 @@ class SynthesisNetwork(nn.Module):
     output_scale: float = 0.25
     num_fp16_res: int = 4
     conv_clamp: Optional[float] = 256.0
+    resample_impl: str = "conv"
 
     @property
     def num_ws(self) -> int:
@@ -365,7 +367,7 @@ class SynthesisNetwork(nn.Module):
                 in_sampling_rate=int(rates[prev]), out_sampling_rate=int(rates[idx]),
                 in_cutoff=float(cutoffs[prev]), out_cutoff=float(cutoffs[idx]),
                 in_half_width=float(half_widths[prev]), out_half_width=float(half_widths[idx]),
-                conv_clamp=self.conv_clamp,
+                conv_clamp=self.conv_clamp, resample_impl=self.resample_impl,
                 name=f"L{idx}_{int(sizes_x[idx])}_{int(sizes_y[idx])}_{int(channels[idx])}",
             )
             layers.append(layer)
@@ -442,6 +444,7 @@ class Generator(nn.Module):
     channel_base: int = 32768
     channel_max: int = 512
     num_layers: int = 14
+    resample_impl: str = "conv"
 
     @property
     def cond_channels(self) -> int:
@@ -453,7 +456,8 @@ class Generator(nn.Module):
             img_channels=self.img_channels, cond_channels=self.cond_channels,
             margin_size=self.margin_size, fourfeats=self.fourfeats,
             num_fp16_res=self.num_fp16_res, channel_base=self.channel_base,
-            channel_max=self.channel_max, num_layers=self.num_layers)
+            channel_max=self.channel_max, num_layers=self.num_layers,
+            resample_impl=self.resample_impl)
         self.mapping = MappingNetwork(z_dim=self.z_dim, w_dim=self.w_dim,
                                       num_ws=self.synthesis.num_ws)
 
@@ -552,6 +556,7 @@ class VideoGenerator(nn.Module):
     channel_base: int = 32768
     channel_max: int = 512
     num_layers: int = 14
+    resample_impl: str = "conv"
 
     def setup(self):
         self.SG3 = Generator(
@@ -561,7 +566,7 @@ class VideoGenerator(nn.Module):
             cond_context=self.temporal_context, margin_size=self.margin_size,
             fourfeats=self.fourfeats, num_fp16_res=self.num_fp16_res,
             channel_base=self.channel_base, channel_max=self.channel_max,
-            num_layers=self.num_layers)
+            num_layers=self.num_layers, resample_impl=self.resample_impl)
 
     def __call__(self, lr_video: jax.Array, z: Optional[jax.Array] = None,
                  magnitude_ema_beta: float = 1.0, **kwargs) -> jax.Array:
