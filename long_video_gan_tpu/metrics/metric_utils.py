@@ -44,6 +44,8 @@ class MetricOptions:
     cache_dir: Optional[str] = None
     detector: Optional[str] = None
     seed: int = 0
+    # Test/CI knob: caps feature counts of every metric (e.g. 64 for smoke).
+    max_items_override: Optional[int] = None
 
     def cache_path(self, tag: str, **key_kwargs) -> Optional[str]:
         cache_dir = self.cache_dir or os.path.join(
@@ -76,6 +78,8 @@ def compute_feature_stats_for_dataset(
     per-video weighting for image metrics and a disk cache."""
     from ..data.dataset import VideoDataset, VideoDatasetPerImage
 
+    if opts.max_items_override is not None:
+        max_items = min(max_items or opts.max_items_override, opts.max_items_override)
     dataset_kwargs = dict(opts.dataset_kwargs)
     dataset_kwargs.update(dataset_kwargs_override or {})
     if seq_length is not None:
@@ -157,6 +161,8 @@ def compute_feature_stats_for_generator(
     import jax
     import jax.numpy as jnp
 
+    if opts.max_items_override is not None:
+        max_items = min(max_items or opts.max_items_override, opts.max_items_override)
     detector = get_detector(opts.detector or detector_spec)
     detector_kwargs = detector_kwargs or {}
     stats = FeatureStats(capture_all=capture_all, capture_mean_cov=capture_mean_cov,

@@ -19,6 +19,8 @@ import jax  # noqa: E402
 # eagerly (before any test imports torch) — torch-first initialization of the
 # TPU plugin can wedge.
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
 import numpy as np  # noqa: E402
