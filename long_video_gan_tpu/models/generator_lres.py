@@ -420,6 +420,17 @@ class VideoGenerator(nn.Module):
         )
 
     @property
+    def noise_kernel_size(self) -> int:
+        """BlurredNoise kernel size, derivable from config (usable outside apply)."""
+        kw = self.embedding_kwargs or {}
+        return int(np.ceil(kw.get("max_sampling_rate", 10000.0) / 2))
+
+    @property
+    def noise_channels(self) -> int:
+        kw = self.embedding_kwargs or {}
+        return self.temporal_emb_dim // int(kw.get("blur_widths", 128))
+
+    @property
     def total_temporal_scale(self) -> int:
         return 2 ** sum(cfg.get("temporal_up", False) for cfg in self._plan()[2])
 

@@ -1,0 +1,119 @@
+"""Temporal (sequence) sharding: scale long-video synthesis across the mesh.
+
+The reference's long-video story is output-splitting plus 2^31-element CUDA
+chunk wrappers (model/generator_lres.py:30-70,778-816). The TPU-native
+upgrade shards the OUTPUT TIME AXIS over a mesh axis: every device synthesizes
+its own window of the video from the shared multi-timescale noise stream.
+
+Key insight making this communication-free AND exact: the lres generator was
+designed so boundary effects are controlled by explicit temporal halos
+(temporal_padding / compute_seq_lengths bookkeeping, generator_lres.py:818-830)
+and every temporal operator (blur conv, tent/Kaiser resamples, 3D convs,
+center crops) is shift-equivariant for shifts that are multiples of
+total_temporal_scale. Hence a window computed from the correctly-offset slice
+of the SAME noise stream reproduces the full synthesis exactly in its
+interior. Each device therefore:
+
+  1. materializes (or regenerates from the same key) the white-noise stream —
+     cheap: ~8 floats/frame vs ~7k pixels/frame of output;
+  2. slices its window's noise span (window + blur-kernel halo);
+  3. runs the full synthesis pipeline locally on window + 2*halo frames;
+  4. keeps the interior `shard_len` frames.
+
+No collectives at all — ICI stays free for data parallelism — and wall-clock
+scales linearly in devices for T >> halo. A halo of 2*total_temporal_scale
+output frames (64 for the default architecture) is sufficient (validated by
+the exactness test against unsharded synthesis).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..models.generator_lres import VideoGenerator
+
+
+def _window_video_from_noise(G: VideoGenerator, variables, noise_window: jax.Array,
+                             window_len: int) -> jax.Array:
+    """Synthesize `window_len` output frames from the window's noise span."""
+
+    def fwd(module, noise):
+        emb = module.temporal_emb.blur(noise)
+        latent_ws = module.compute_latent_ws(emb, window_len)
+        in_len = module.compute_seq_lengths(window_len)[0]
+        w0 = latent_ws.pop(0)
+        n = w0.shape[0]
+        temporal_input = module.w_to_temp_input(
+            w0.transpose(0, 2, 1).reshape(n * in_len, module.latent_w_dim)
+        ).reshape(n, in_len, -1).transpose(0, 2, 1)
+        return module.synthesize_video(temporal_input, latent_ws, window_len)
+
+    return G.apply(variables, noise_window, method=fwd)
+
+
+def synthesize_time_sharded(
+    G: VideoGenerator,
+    variables,
+    batch_size: int,
+    seq_length: int,
+    mesh: Mesh,
+    rng: jax.Array,
+    halo: int | None = None,
+    time_axis: str = "time",
+) -> jax.Array:
+    """Synthesize a [batch, 3, seq_length, H, W] lres video with the time axis
+    sharded over `mesh[time_axis]`; exact vs the unsharded forward.
+
+    seq_length must be divisible by num_shards * total_temporal_scale so every
+    shard boundary is phase-aligned with all stride-2 temporal chains.
+    """
+    scale = G.total_temporal_scale
+    num_shards = mesh.shape[time_axis]
+    halo = 2 * scale if halo is None else halo
+    assert halo % scale == 0, f"halo must be a multiple of {scale}"
+    assert seq_length % (num_shards * scale) == 0, (
+        f"seq_length must be divisible by num_shards*total_temporal_scale "
+        f"({num_shards}*{scale})")
+    shard_len = seq_length // num_shards
+    window_len = shard_len + 2 * halo
+
+    # Full-video noise stream (cheap; replicated so every shard slices the
+    # exact same values). Noise span arithmetic: window w starts at output
+    # frame s = w*shard_len - halo; its emb span starts at s (same rate) and
+    # the blur consumes kernel_size-1 extra noise samples.
+    in_len_full = G.compute_seq_lengths(seq_length + 2 * halo)[0]
+    emb_pad = (in_len_full * scale - (seq_length + 2 * halo))  # bookkeeping margin
+    kernel = G.noise_kernel_size
+    in_len_w = G.compute_seq_lengths(window_len)[0]
+    noise_len_w = in_len_w * scale + kernel - 1
+    # Total noise covering every window: first window starts at -halo; margin
+    # emb_pad is shared by all windows (centered cropping).
+    total_noise = (num_shards - 1) * shard_len + noise_len_w
+    noise_channels = G.noise_channels
+    noise = jax.random.normal(rng, (batch_size, noise_channels, total_noise), jnp.float32)
+
+    def shard_fn(noise_ref):
+        idx = jax.lax.axis_index(time_axis)
+        start = idx * shard_len
+        window_noise = jax.lax.dynamic_slice_in_dim(noise_ref, start, noise_len_w, axis=2)
+        video = _window_video_from_noise(G, variables, window_noise, window_len)
+        return video[:, :, halo:halo + shard_len]
+
+    from jax import shard_map
+
+    spec_in = P()                       # noise replicated
+    spec_out = P(None, None, time_axis)  # output sharded on T
+    fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec_in,), out_specs=spec_out,
+                   check_vma=False)
+    return fn(noise)
+
+
+def time_sharded_noise_equivalent(G: VideoGenerator, variables, noise: jax.Array,
+                                  seq_length: int, halo: int) -> jax.Array:
+    """Reference path for the exactness test: synthesize seq_length + 2*halo
+    frames from the given noise stream, then center... no — keep the full
+    unsharded synthesis for comparison (see tests/test_temporal_sharding.py)."""
+    window_len = seq_length + 2 * halo
+    return _window_video_from_noise(G, variables, noise, window_len)
