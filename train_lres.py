@@ -125,9 +125,13 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
             if step > start_step:
                 sec_per_step = (time.time() - tick_start) / c.steps_per_tick
                 collector.update()
+                from long_video_gan_tpu.utils.profiling import host_memory_gb, peak_device_memory_gb
+
                 record = {name: v["mean"] for name, v in collector.as_dict().items()}
                 record.update(step=step, tick=tick, sec_per_step=sec_per_step,
-                              total_sec=time.time() - start_time, timestamp=time.time())
+                              total_sec=time.time() - start_time, timestamp=time.time(),
+                              cpu_mem_gb=host_memory_gb(),
+                              peak_device_mem_gb=peak_device_memory_gb())
                 stats_fp.write(json.dumps(record) + "\n")
                 stats_fp.flush()
                 print(f"step {step:<8d} tick {tick:<5d} sec/step {sec_per_step:<7.3f} "
