@@ -21,9 +21,11 @@ interior. Each device therefore:
   4. keeps the interior `shard_len` frames.
 
 No collectives at all — ICI stays free for data parallelism — and wall-clock
-scales linearly in devices for T >> halo. A halo of 2*total_temporal_scale
-output frames (64 for the default architecture) is sufficient (validated by
-the exactness test against unsharded synthesis).
+scales linearly in devices for T >> halo. Measured halo convergence (max abs
+deviation vs unsharded synthesis): 2*scale -> 2e-3, 4*scale -> 1e-5,
+8*scale -> 4e-7 (float noise floor). Default halo is 8*total_temporal_scale
+(256 output frames); 4*scale is visually indistinguishable if halo compute
+matters.
 """
 
 from __future__ import annotations
@@ -71,7 +73,7 @@ def synthesize_time_sharded(
     """
     scale = G.total_temporal_scale
     num_shards = mesh.shape[time_axis]
-    halo = 2 * scale if halo is None else halo
+    halo = 8 * scale if halo is None else halo
     assert halo % scale == 0, f"halo must be a multiple of {scale}"
     assert seq_length % (num_shards * scale) == 0, (
         f"seq_length must be divisible by num_shards*total_temporal_scale "
