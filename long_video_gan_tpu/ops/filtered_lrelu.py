@@ -52,6 +52,11 @@ def filtered_lrelu(
     impl: str = "conv",
 ) -> jax.Array:
     assert x.ndim == 4, f"expected NCHW input, got {x.shape}"
+    if impl == "pallas":
+        from .pallas.filtered_lrelu_kernel import filtered_lrelu_pallas
+
+        return filtered_lrelu_pallas(x, fu, fd, b, up=up, down=down, padding=padding,
+                                     gain=gain, slope=slope, clamp=clamp)
     assert isinstance(up, int) and up >= 1
     assert isinstance(down, int) and down >= 1
     assert gain > 0 and slope >= 0
