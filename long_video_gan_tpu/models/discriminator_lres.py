@@ -50,7 +50,9 @@ class Conv1dLayer(nn.Module):
         )
         if self.use_bias:
             self._bias = self.param(
-                "_bias", lambda k: jnp.full((self.out_ch,), self.bias_init / self.lr_multiplier)
+                "_bias",
+                lambda k: jnp.full((self.out_ch,), self.bias_init / self.lr_multiplier,
+                                   jnp.float32),
             )
         if self.downsample:
             self._downsample = TemporalLinearDownsample(scale=2)

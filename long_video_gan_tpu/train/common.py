@@ -13,8 +13,25 @@ import optax
 def make_adam(lrate: float, beta2: float, warmup_steps: int = 0):
     """Adam(beta1=0, beta2) with hyperparam-injected learning rate so the
     per-step warmup (video_gan_lres.py:90-96) sets lr without advancing
-    optimizer counts out of sync with the training step."""
-    return optax.inject_hyperparams(optax.adam)(learning_rate=lrate, b1=0.0, b2=beta2)
+    optimizer counts out of sync with the training step.
+
+    b1/b2/eps stay static and the injected learning rate is normalized to a
+    strong-typed f32 scalar at init: otherwise the first optimizer update
+    flips it from weak- to strong-typed, silently retracing (and on CPU
+    recompiling for minutes) every jitted train step on its second call.
+    """
+    import jax.numpy as jnp
+
+    opt = optax.inject_hyperparams(optax.adam, static_args=("b1", "b2", "eps"))(
+        learning_rate=lrate, b1=0.0, b2=beta2)
+    orig_init = opt.init
+
+    def init(params):
+        state = orig_init(params)
+        state.hyperparams["learning_rate"] = jnp.asarray(lrate, jnp.float32)
+        return state
+
+    return optax.GradientTransformation(init, opt.update)
 
 
 def warmup_lrate(base: float, step, warmup_steps: int):

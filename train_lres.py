@@ -64,6 +64,9 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
     if os.environ.get("LVG_PLATFORM"):
         # The axon TPU plugin ignores JAX_PLATFORMS; honor our own env knob.
         jax.config.update("jax_platforms", os.environ["LVG_PLATFORM"])
+    # Reference trains with TF32 disabled (full f32 matmuls, train_lres.py:266-268,76-77).
+    # TPU default matmul precision is bf16-ish; "highest" restores f32-equivalent.
+    jax.config.update("jax_default_matmul_precision", c.get("matmul_precision", "default"))
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -213,9 +216,11 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
 @click.option("--seed", type=int, default=None)
 @click.option("--resume", type=str, default=None, help="Train checkpoint to resume")
 @click.option("--total-steps", type=int, default=None)
+@click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
+              default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, use_wandb):
+         resume, total_steps, matmul_precision, use_wandb):
     """Train a low-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -226,6 +231,7 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     c = build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset)
     if total_steps is not None:
         c.total_steps = total_steps
+    c.matmul_precision = matmul_precision
     seed = int(np.random.SeedSequence().entropy % (2**31)) if seed is None else seed
 
     from long_video_gan_tpu.utils.video import get_next_run_dir

@@ -237,9 +237,11 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
 @click.option("--seed", type=int, default=None)
 @click.option("--resume", type=str, default=None)
 @click.option("--total-steps", type=int, default=None)
+@click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
+              default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, use_wandb):
+         resume, total_steps, matmul_precision, use_wandb):
     """Train a super-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -250,6 +252,7 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     c = build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset)
     if total_steps is not None:
         c.total_steps = total_steps
+    c.matmul_precision = matmul_precision
     seed = int(np.random.SeedSequence().entropy % (2**31)) if seed is None else seed
 
     from long_video_gan_tpu.utils.video import get_next_run_dir
