@@ -53,11 +53,17 @@ class InfiniteLoader:
     def _index_stream(self):
         epoch = 0
         n = len(self.dataset)
+        assert n > 0, "empty dataset"
         while True:
             rng = np.random.default_rng((self.seed, epoch))
             order = rng.permutation(n)
             shard = order[self.shard_id::self.num_shards]
             usable = (len(shard) // self.batch_size) * self.batch_size
+            if usable == 0:
+                # Shard smaller than one batch: sample with replacement so the
+                # stream still produces batches (otherwise the producer would
+                # spin through empty epochs forever while the consumer blocks).
+                yield epoch, rng.choice(shard, size=self.batch_size, replace=True)
             for i in range(0, usable, self.batch_size):
                 yield epoch, shard[i:i + self.batch_size]
             epoch += 1

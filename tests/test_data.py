@@ -87,3 +87,17 @@ def test_infinite_loader_batches_and_sharding(dataset_dir):
     finally:
         l0.close()
         l1.close()
+
+
+def test_loader_dataset_smaller_than_batch(dataset_dir):
+    """Regression: a dataset smaller than the batch must still stream batches
+    (with replacement) instead of spinning through empty epochs forever."""
+    ds = VideoDataset(dataset_dir, seq_length=4, height=9, width=16)   # 3 videos
+    loader = get_infinite_data_iter(ds, batch_size=8, seed=3, num_workers=1, prefetch=1)
+    try:
+        batch = next(loader)
+        assert batch["video"].shape[0] == 8
+        batch2 = next(loader)
+        assert batch2["video"].shape[0] == 8
+    finally:
+        loader.close()

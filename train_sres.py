@@ -59,7 +59,11 @@ def build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
 
 
 def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
+    import faulthandler
     import os
+    import signal
+
+    faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps all stacks
 
     import jax
     import jax.numpy as jnp
