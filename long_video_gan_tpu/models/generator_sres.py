@@ -395,9 +395,11 @@ class SynthesisNetwork(nn.Module):
 
 class KaiserDownsample2d:
     def __init__(self, scale: int, filter_size: int = 6, cutoff: float = 1.0,
-                 width: float = 6.0, sampling_rate: float = 4.0, pad: bool = True):
+                 width: float = 6.0, sampling_rate: float = 4.0, pad: bool = True,
+                 impl: str = "conv"):
         self.scale = scale
         self.pad = pad
+        self.impl = impl
         self.filter = kaiser_resample_filter(scale, filter_size, cutoff, width, sampling_rate)
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -405,14 +407,16 @@ class KaiserDownsample2d:
         p = int(self.pad) * self.scale
         if self.pad:
             x = jnp.pad(x, [(0, 0), (0, 0), (p, p), (p, p)], mode="edge")
-        return downsample2d(x, self.filter, down=self.scale, padding=-p)
+        return downsample2d(x, self.filter, down=self.scale, padding=-p, impl=self.impl)
 
 
 class KaiserUpsample2d:
     def __init__(self, scale: int, filter_size: int = 6, cutoff: float = 1.0,
-                 width: float = 6.0, sampling_rate: float = 4.0, pad: bool = True):
+                 width: float = 6.0, sampling_rate: float = 4.0, pad: bool = True,
+                 impl: str = "conv"):
         self.scale = scale
         self.pad = pad
+        self.impl = impl
         self.filter = kaiser_resample_filter(scale, filter_size, cutoff, width, sampling_rate)
 
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -420,7 +424,8 @@ class KaiserUpsample2d:
         p = int(self.pad)
         if self.pad:
             x = jnp.pad(x, [(0, 0), (0, 0), (p, p), (p, p)], mode="edge")
-        return upsample2d(x, self.filter, up=self.scale, padding=-p * self.scale)
+        return upsample2d(x, self.filter, up=self.scale, padding=-p * self.scale,
+                          impl=self.impl)
 
 
 # ---------------------------------------------------------------------------
@@ -469,9 +474,11 @@ class Generator(nn.Module):
             # in_sampling_rate of layer idx == rates[max(idx-1, 0)]
             cond_scale = rates[max(idx - 1, 0)] / cond_edge
             if cond_scale < 1:
-                resamples.append(KaiserDownsample2d(scale=math.ceil(1 / cond_scale)))
+                resamples.append(KaiserDownsample2d(scale=math.ceil(1 / cond_scale),
+                                                    impl=self.resample_impl))
             elif cond_scale > 1:
-                resamples.append(KaiserUpsample2d(scale=math.ceil(cond_scale)))
+                resamples.append(KaiserUpsample2d(scale=math.ceil(cond_scale),
+                                                  impl=self.resample_impl))
             else:
                 resamples.append(lambda x: x)
         self._resamples = resamples
