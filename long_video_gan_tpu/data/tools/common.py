@@ -8,14 +8,11 @@ FileLock; the on-disk output format is identical).
 from __future__ import annotations
 
 import json
-import os
-import threading
 from concurrent.futures import ThreadPoolExecutor, as_completed
 from io import BytesIO
 from pathlib import Path
 from zipfile import ZIP_STORED, ZipFile
 
-import numpy as np
 from PIL import Image
 
 

@@ -15,7 +15,6 @@ from __future__ import annotations
 from pathlib import Path
 
 import click
-import numpy as np
 from PIL import Image
 
 from .common import FrameWriteBuffer, center_crop_and_resize, resize_long_edge, run_parallel, write_frame_index

@@ -14,7 +14,7 @@ import hashlib
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, Callable, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -159,7 +159,6 @@ def compute_feature_stats_for_generator(
         and frames optionally subsample (fvd2048_128f_subsample8f).
     """
     import jax
-    import jax.numpy as jnp
 
     if opts.max_items_override is not None:
         max_items = min(max_items or opts.max_items_override, opts.max_items_override)

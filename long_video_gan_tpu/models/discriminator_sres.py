@@ -21,7 +21,6 @@ from ..ops.bias_act import activation_funcs, bias_act
 from ..ops.conv2d_resample import conv2d_resample
 from ..ops.filters import setup_filter
 from ..ops.upfirdn2d import downsample2d
-from ..utils.misc import assert_shape
 from .common import FullyConnectedLayer, SpatialBilinearUpsample
 
 # ---------------------------------------------------------------------------

@@ -31,7 +31,7 @@ from ..ops.filtered_lrelu import filtered_lrelu
 from ..ops.filters import design_lowpass_filter, kaiser_resample_filter
 from ..ops.upfirdn2d import downsample2d, upsample2d
 from ..utils.misc import assert_shape
-from .common import FullyConnectedLayer, normalize_2nd_moment
+from .common import FullyConnectedLayer
 
 
 # ---------------------------------------------------------------------------
