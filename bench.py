@@ -12,6 +12,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 from __future__ import annotations
 
+import argparse
 import json
 import time
 
@@ -23,6 +24,15 @@ BASELINE_FPS = 92.86
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--impl", default="fused",
+                    choices=["conv", "matrix", "fused", "pallas"],
+                    help="resampling/filtered_lrelu backend")
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--segment", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -31,12 +41,12 @@ def main():
 
     from long_video_gan_tpu.models.generator_sres import VideoGenerator
 
-    segment = 16
+    segment = args.segment
     context = 4
-    batch = 1
+    batch = args.batch
     G = VideoGenerator(hr_height=144, hr_width=256, lr_height=36, lr_width=64,
                        temporal_context=context, num_fp16_res=4,
-                       resample_impl="matrix")
+                       resample_impl=args.impl)
     lr_shape = (batch, 3, segment + 2 * context, 36, 64)
 
     # Random-filled params at the exact init shapes (no slow init trace).
@@ -70,7 +80,7 @@ def main():
     for _ in range(3):
         float(synth(variables, lr_video, z)[1])
 
-    iters = 10
+    iters = args.iters
     start = time.perf_counter()
     for _ in range(iters):
         float(synth(variables, lr_video, z)[1])   # forced host readback per call

@@ -1,0 +1,164 @@
+"""Training-throughput benchmark on real TPU hardware.
+
+Measures sec/step and peak HBM for the reference's two headline training
+configs (BASELINE.md), single chip, synthetic data (the data path is benched
+separately in tests/test_native_jpeg.py):
+
+  * lres: total batch 64 via grad-accum, seq 128 @ 36x64
+    (reference train_lres.py:259-279 — 8xA100 used batch 64 / accum 2)
+  * sres: total batch 32, seq 4 + 2*4 context @ 36x64 -> 144x256
+    (reference train_sres.py:293-317)
+
+One "step" = the reference step cycle: update_G + update_D + update_G_ema
+with update_r1 every r1_interval=16 steps amortized in (reference
+train_lres.py:222-228). Prints one JSON line per config.
+
+Usage: python bench_train.py [--config lres|sres|both] [--accum N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _peak_hbm_gb() -> float:
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("peak_bytes_in_use", 0) / 2**30
+    except Exception:
+        return float("nan")
+
+
+def bench_lres(accum: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from long_video_gan_tpu.train.gan_lres import LowResVideoGAN
+
+    total_batch = 64
+    seq = 128
+    gan = LowResVideoGAN(
+        seq_length=seq, height=36, width=64, total_batch=total_batch,
+        G_grad_accum=accum, D_grad_accum=accum,
+        G_random_temp_translate=True, temp_scale_augment=1.0,
+        r1_gamma=1.0,
+        G_kwargs=dict(num_fp16_layers=0, temporal_padding=8, temporal_emb_dim=1024),
+        D_kwargs=dict(num_fp16_res=0),
+    )
+    state = gan.init_state(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    real = jnp.asarray(rng.standard_normal((total_batch, 3, seq, 36, 64)).astype(np.float32))
+
+    def cycle(state, key, with_r1):
+        kg, kd, kr = jax.random.split(key, 3)
+        state, g_stats = gan.update_G(state, kg)
+        state, d_stats = gan.update_D(state, kd, real)
+        if with_r1:
+            state, _ = gan.update_r1(state, kr, real, gain=16.0)
+        state = gan.update_G_ema(state)
+        return state, g_stats, d_stats
+
+    # Warmup: compile all four phases.
+    state, *_ = cycle(state, jax.random.key(1), with_r1=True)
+    jax.block_until_ready(state.step)
+
+    r1_interval = 16
+    start = time.perf_counter()
+    for i in range(steps):
+        state, g_stats, d_stats = cycle(state, jax.random.fold_in(jax.random.key(2), i),
+                                        with_r1=(i % r1_interval == 0))
+    # Force completion (axon: scalar readback is the reliable sync).
+    float(jax.device_get(state.step))
+    float(jax.device_get(g_stats["loss/G_loss"]))
+    elapsed = time.perf_counter() - start
+
+    return {
+        "metric": "lres_train_sec_per_step_batch64_seq128",
+        "value": round(elapsed / steps, 4),
+        "unit": "sec/step",
+        "grad_accum": accum,
+        "peak_hbm_gb": round(_peak_hbm_gb(), 2),
+    }
+
+
+def bench_sres(accum: int, steps: int) -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from long_video_gan_tpu.train.gan_sres import SuperResVideoGAN
+
+    total_batch = 32
+    seq, ctx = 4, 4
+    gan = SuperResVideoGAN(
+        seq_length=seq, temporal_context=ctx,
+        lr_height=36, lr_width=64, hr_height=144, hr_width=256,
+        total_batch=total_batch, G_grad_accum=accum, D_grad_accum=accum,
+        r1_gamma=1.0,
+        G_kwargs=dict(num_fp16_res=4),
+        D_kwargs=dict(num_fp16_res=4),
+    )
+    state = gan.init_state(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    lr_ctx = jnp.asarray(rng.standard_normal(
+        (total_batch, 3, seq + 2 * ctx, 36, 64)).astype(np.float32))
+    lr = gan.crop_to_seq_length(lr_ctx)
+    hr = jnp.asarray(rng.standard_normal(
+        (total_batch, 3, seq, 144, 256)).astype(np.float32))
+
+    def cycle(state, key, i):
+        kg, kd, kr = jax.random.split(key, 3)
+        state, g_stats = gan.update_G(state, kg, lr_ctx)
+        state, d_stats = gan.update_D(state, kd, lr_ctx, lr_ctx, hr)
+        if i % 16 == 0:
+            state, _ = gan.update_r1(state, kr, lr, hr, gain=16.0)
+        if i % 4 == 0:
+            state, _ = gan.update_ada(state, gain=4.0)
+        state = gan.update_G_ema(state)
+        return state, g_stats
+
+    state, _ = cycle(state, jax.random.key(1), 0)
+    jax.block_until_ready(state.step)
+
+    start = time.perf_counter()
+    for i in range(steps):
+        state, g_stats = cycle(state, jax.random.fold_in(jax.random.key(2), i), i)
+    float(jax.device_get(state.step))
+    float(jax.device_get(g_stats["loss/G_loss"]))
+    elapsed = time.perf_counter() - start
+
+    return {
+        "metric": "sres_train_sec_per_step_batch32_144x256",
+        "value": round(elapsed / steps, 4),
+        "unit": "sec/step",
+        "grad_accum": accum,
+        "peak_hbm_gb": round(_peak_hbm_gb(), 2),
+    }
+
+
+def main():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", choices=["lres", "sres", "both"], default="both")
+    ap.add_argument("--lres-accum", type=int, default=16)
+    ap.add_argument("--sres-accum", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.config in ("lres", "both"):
+        print(json.dumps(bench_lres(args.lres_accum, args.steps)), flush=True)
+    if args.config in ("sres", "both"):
+        print(json.dumps(bench_sres(args.sres_accum, args.steps)), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,13 @@ def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from long_video_gan_tpu.io.checkpoint import load_generator
+    from long_video_gan_tpu.utils.fetch import resolve_path
+
+    # URL checkpoints download into the local cache (reference generate.py
+    # accepts URLs via dnnlib.util.open_url, /root/reference/utils.py:53-56).
+    lres_path = resolve_path(lres_path)
+    if sres_path is not None:
+        sres_path = resolve_path(sres_path)
     from long_video_gan_tpu.models.generator_sres import sample_video_segments
     from long_video_gan_tpu.utils.video import save_image_grid, to_uint8, write_video_grid
 

@@ -94,6 +94,21 @@ def get_detector(spec: str) -> Callable:
     """
     if spec.startswith("stub:"):
         return StubDetector(dim=int(spec.split(":", 1)[1]))
+    if spec.startswith("i3d:") or spec == "i3d" or "i3d" in os.path.basename(spec):
+        # Prefer the native on-device I3D (metrics/i3d.py): convert the
+        # torchscript weights once, then extract features on TPU.
+        path = spec.split(":", 1)[1] if spec.startswith("i3d:") else (
+            spec if os.path.isfile(spec)
+            else os.path.join(os.environ.get(DETECTOR_DIR_ENV, ""), "i3d.pt"))
+        if os.path.isfile(path):
+            try:
+                from .i3d import I3DDetector
+
+                return I3DDetector.from_torchscript(path)
+            except Exception as e:  # unexpected export layout: black-box fallback
+                print(f"i3d native conversion failed ({e}); torchscript fallback")
+                return TorchscriptDetector(
+                    path, dict(rescale=True, resize=True, return_features=True))
     if os.path.isfile(spec):
         return TorchscriptDetector(spec)
     base = os.environ.get(DETECTOR_DIR_ENV, "")

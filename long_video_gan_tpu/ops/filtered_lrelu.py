@@ -57,6 +57,20 @@ def filtered_lrelu(
 
         return filtered_lrelu_pallas(x, fu, fd, b, up=up, down=down, padding=padding,
                                      gain=gain, slope=slope, clamp=clamp)
+    if impl == "fused":
+        # Whole-image 4-matmul Pallas kernel with custom VJP — the production
+        # TPU path (ops/pallas/filtered_lrelu_fused.py). Identity resamples
+        # (ToRGB: up == down == 1, trivial filters) stay on the composed path.
+        fu_w, fu_h = _filter_size(fu)
+        fd_w, fd_h = _filter_size(fd)
+        trivial = up == 1 and down == 1 and fu_w * fu_h == 1 and fd_w * fd_h == 1
+        if not (trivial or flip_filter):
+            from .pallas.filtered_lrelu_fused import filtered_lrelu_fused
+
+            return filtered_lrelu_fused(x, fu, fd, b, up=up, down=down,
+                                        padding=padding, gain=gain, slope=slope,
+                                        clamp=clamp)
+        impl = "matrix"
     assert isinstance(up, int) and up >= 1
     assert isinstance(down, int) and down >= 1
     assert gain > 0 and slope >= 0

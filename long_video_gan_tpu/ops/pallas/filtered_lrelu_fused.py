@@ -1,0 +1,280 @@
+"""Pallas TPU kernel v3: whole-image fused filtered_lrelu as 4 MXU matmuls.
+
+The op (reference semantics: torch_utils/ops/filtered_lrelu.py:56-116) is a
+separable linear resample -> pointwise -> separable linear resample. For one
+image X [H, W] the whole thing is
+
+    out = Ad @ act( Au @ X @ Bu^T ) @ Bd^T
+
+with Au/Bu the banded [out,in] up+FIR operators (zero-stuff, pad, filter) and
+Ad/Bd the FIR+decimate operators — the same matrices the composed
+impl="matrix" path uses (ops/upfirdn2d._axis_matrix). The kernel runs one
+image per grid program with all four matrices resident in VMEM, so the
+2x-supersampled buffer act(Au X Bu^T) NEVER touches HBM — the property the
+reference buys with 1755 LoC of CUDA (filtered_lrelu.cu:139 keeps it in
+registers/smem). HBM traffic is exactly read-X + write-out.
+
+Versus the earlier kernels: v1/v2 decomposed into polyphase VPU stages and
+lost to arbitrary-offset sublane relayouts (see filtered_lrelu_v2.py notes).
+v3 trades tap-exact FLOPs for dense MXU matmuls — at SG3's sizes
+(H,W <= 556, K 128-556) the MXU eats these at near peak, and the matmul
+shapes need no relayouts at all: W stays on lanes end to end.
+
+Backward: custom VJP with the adjoint
+
+    dX = Au^T @ ( act'(U) * (Ad^T @ dY @ Bd) ) @ Bu,   U = Au @ X @ Bu^T
+
+run as one more 6-matmul kernel that recomputes U on-chip instead of storing
+a sign tensor (the reference stores 2 bits/element instead,
+filtered_lrelu.cpp:84-96; recompute is cheaper than the HBM round-trip here).
+Second-order autodiff is not defined for this impl — training G needs only
+first order (R1 runs on the discriminators, which don't use this op); the
+composed path remains for anything higher-order.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..upfirdn2d import _axis_matrix, parse_padding
+
+
+@functools.lru_cache(maxsize=256)
+def _operators(h, w, up, down, padding, fu_taps, fd_taps):
+    """The four banded [out,in] operators (f32 numpy), plus output sizes."""
+    px0, px1, py0, py1 = padding
+    fu = np.asarray(fu_taps, np.float32)
+    fd = np.asarray(fd_taps, np.float32)
+    # Per-axis gain `up` so the two up passes compose to the contract's up**2.
+    au = _axis_matrix(h, up, 1, py0, py1, fu, False, float(up))
+    bu = _axis_matrix(w, up, 1, px0, px1, fu, False, float(up))
+    hu = au.shape[0]
+    wu = bu.shape[0]
+    ad = _axis_matrix(hu, 1, down, 0, 0, fd, False, 1.0)
+    bd = _axis_matrix(wu, 1, down, 0, 0, fd, False, 1.0)
+    return au, bu, ad, bd
+
+
+def _act_factory(gain, slope, clamp):
+    def act(u):
+        z = jnp.where(u >= 0, u, u * slope) * gain
+        if clamp is not None:
+            z = jnp.clip(z, -clamp, clamp)
+        return z
+
+    return act
+
+
+def _act_grad_factory(gain, slope, clamp):
+    def act_grad(u):
+        g = jnp.where(u >= 0, gain, gain * slope)
+        if clamp is not None:
+            zg = jnp.where(u >= 0, u, u * slope) * gain
+            g = jnp.where((zg > -clamp) & (zg < clamp), g, 0.0)
+        return g
+
+    return act_grad
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+
+
+def _pick_block_images(h, w, hu, wu, ho, wo, itemsize, budget_bytes=8 << 20):
+    """Images per grid step: enough independent matmul chains to keep the MXU
+    busy across the VPU activation stage, bounded by VMEM."""
+    per_image = (h * w + ho * wo) * itemsize * 2          # in/out, double-buffered
+    per_image += (hu * w + hu * wu + hu * wo) * 4         # f32 temps
+    mats = (hu * h + w * wu + ho * hu + wu * wo) * itemsize
+    k = max(1, (budget_bytes - mats) // max(per_image, 1))
+    return int(min(k, 16))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("up", "down", "padding", "gain", "slope", "clamp",
+                     "fu_taps", "fd_taps"),
+)
+def _fused_fwd(x, *, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = x.shape
+    au, bu, ad, bd = _operators(h, w, up, down, padding, fu_taps, fd_taps)
+    hu, wu = au.shape[0], bu.shape[0]
+    ho, wo = ad.shape[0], bd.shape[0]
+    act = _act_factory(float(gain), float(slope),
+                       None if clamp is None else float(clamp))
+
+    mat_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    au_j = jnp.asarray(au, mat_dtype)
+    but_j = jnp.asarray(bu.T, mat_dtype)     # [W, Wu]
+    ad_j = jnp.asarray(ad, mat_dtype)
+    bdt_j = jnp.asarray(bd.T, mat_dtype)     # [Wu, Wo]
+    out_dtype = x.dtype
+
+    k = _pick_block_images(h, w, hu, wu, ho, wo, x.dtype.itemsize)
+    bp = (b + k - 1) // k * k
+    if bp != b:
+        x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
+
+    def kernel(x_ref, au_ref, but_ref, ad_ref, bdt_ref, o_ref):
+        # k independent 4-matmul chains per grid step: Mosaic overlaps image
+        # j's VPU activation with image j+1's MXU matmuls.
+        for j in range(k):
+            xt = x_ref[j]                                    # [H, W]
+            t1 = _mm(au_ref[...], xt)                        # [Hu, W]  f32
+            u = _mm(t1.astype(mat_dtype), but_ref[...])      # [Hu, Wu] f32
+            z = act(u)
+            t3 = _mm(z.astype(mat_dtype), bdt_ref[...])      # [Hu, Wo]
+            o_ref[j] = _mm(ad_ref[...], t3.astype(mat_dtype)).astype(out_dtype)
+
+    flops_img = 2 * (hu * h * w + hu * w * wu + hu * wu * wo + ho * hu * wo)
+    out = pl.pallas_call(
+        kernel,
+        grid=(bp // k,),
+        in_specs=[
+            pl.BlockSpec((k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hu, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, wu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ho, hu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wu, wo), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, ho, wo), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, ho, wo), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_img * bp,
+            bytes_accessed=(bp * (h * w + ho * wo)) * x.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(x, au_j, but_j, ad_j, bdt_j)
+    return out[:b] if bp != b else out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("up", "down", "padding", "gain", "slope", "clamp",
+                     "fu_taps", "fd_taps"),
+)
+def _fused_bwd(x, dy, *, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w = x.shape
+    au, bu, ad, bd = _operators(h, w, up, down, padding, fu_taps, fd_taps)
+    hu, wu = au.shape[0], bu.shape[0]
+    ho, wo = ad.shape[0], bd.shape[0]
+    act_grad = _act_grad_factory(float(gain), float(slope),
+                                 None if clamp is None else float(clamp))
+
+    mat_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
+    au_j = jnp.asarray(au, mat_dtype)
+    but_j = jnp.asarray(bu.T, mat_dtype)     # [W, Wu]
+    aut_j = jnp.asarray(au.T, mat_dtype)     # [H, Hu]
+    bu_j = jnp.asarray(bu, mat_dtype)        # [Wu, W]
+    adt_j = jnp.asarray(ad.T, mat_dtype)     # [Hu, Ho]
+    bd_j = jnp.asarray(bd, mat_dtype)        # [Wo, Wu]
+    out_dtype = x.dtype
+
+    k = max(1, _pick_block_images(h, w, hu, wu, ho, wo, x.dtype.itemsize) // 2)
+    bp = (b + k - 1) // k * k
+    if bp != b:
+        x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
+        dy = jnp.pad(dy, [(0, bp - b), (0, 0), (0, 0)])
+
+    def kernel(x_ref, dy_ref, au_ref, but_ref, aut_ref, bu_ref, adt_ref,
+               bd_ref, o_ref):
+        for j in range(k):
+            xt = x_ref[j]
+            t1 = _mm(au_ref[...], xt)                        # [Hu, W]
+            u = _mm(t1.astype(mat_dtype), but_ref[...])      # [Hu, Wu]
+            g = act_grad(u)
+            dyt = dy_ref[j]
+            s1 = _mm(adt_ref[...], dyt)                      # [Hu, Wo]
+            dz = _mm(s1.astype(mat_dtype), bd_ref[...])      # [Hu, Wu]
+            du = (dz * g)
+            dt1 = _mm(du.astype(mat_dtype), bu_ref[...])     # [Hu, W]
+            o_ref[j] = _mm(aut_ref[...], dt1.astype(mat_dtype)).astype(out_dtype)
+
+    flops_img = 2 * (2 * (hu * h * w + hu * w * wu)
+                     + hu * ho * wo + hu * wo * wu + hu * wu * w + h * hu * w)
+    dx = pl.pallas_call(
+        kernel,
+        grid=(bp // k,),
+        in_specs=[
+            pl.BlockSpec((k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, ho, wo), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hu, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, wu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, hu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wu, w), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hu, ho), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wo, wu), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, h, w), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bp, h, w), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=flops_img * bp,
+            bytes_accessed=(bp * (2 * h * w + ho * wo)) * x.dtype.itemsize,
+            transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(x, dy, au_j, but_j, aut_j, bu_j, adt_j, bd_j)
+    return dx[:b] if bp != b else dx
+
+
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(1, 2, 3, 4, 5, 6, 7, 8))
+def _fused_op(x, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
+    return _fused_fwd(x, up=up, down=down, padding=padding, gain=gain,
+                      slope=slope, clamp=clamp, fu_taps=fu_taps, fd_taps=fd_taps)
+
+
+def _fused_op_fwd(x, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
+    y = _fused_fwd(x, up=up, down=down, padding=padding, gain=gain,
+                   slope=slope, clamp=clamp, fu_taps=fu_taps, fd_taps=fd_taps)
+    return y, x
+
+
+def _fused_op_bwd(up, down, padding, gain, slope, clamp, fu_taps, fd_taps,
+                  x, dy):
+    dx = _fused_bwd(x, dy, up=up, down=down, padding=padding, gain=gain,
+                    slope=slope, clamp=clamp, fu_taps=fu_taps, fd_taps=fd_taps)
+    return (dx,)
+
+
+_fused_op.defvjp(_fused_op_fwd, _fused_op_bwd)
+
+
+def filtered_lrelu_fused(x, fu=None, fd=None, b=None, up=1, down=1, padding=0,
+                         gain=math.sqrt(2.0), slope=0.2, clamp=None):
+    """Drop-in fused filtered_lrelu (NCHW), differentiable (1st order).
+
+    Bias is added outside the kernel (XLA fuses it into the producing op) so
+    its gradient needs no custom rule.
+    """
+    assert x.ndim == 4
+    n, c, h, w = x.shape
+    px0, px1, py0, py1 = parse_padding(padding)
+    fu_arr = np.ones(1, np.float32) if fu is None else np.asarray(fu, np.float32)
+    fd_arr = np.ones(1, np.float32) if fd is None else np.asarray(fd, np.float32)
+    assert fu_arr.ndim == 1 and fd_arr.ndim == 1, "fused path needs separable filters"
+
+    if b is not None:
+        x = x + b.reshape(1, -1, 1, 1).astype(x.dtype)
+    flat = x.reshape(n * c, h, w)
+    out = _fused_op(flat, int(up), int(down), (px0, px1, py0, py1),
+                    float(gain), float(slope),
+                    None if clamp is None else float(clamp),
+                    tuple(float(v) for v in fu_arr),
+                    tuple(float(v) for v in fd_arr))
+    return out.reshape(n, c, out.shape[1], out.shape[2])

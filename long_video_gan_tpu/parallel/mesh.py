@@ -49,9 +49,22 @@ def batch_sharding(mesh: Mesh, ndim: int = 1, axis: int = 0) -> NamedSharding:
 
 
 def shard_batch(batch, mesh: Mesh, axis: int = 0):
-    """Place a host array (or pytree) with the batch axis sharded over the mesh."""
+    """Place a host array (or pytree) with the batch axis sharded over the mesh.
+
+    Single-host: plain device_put with a NamedSharding. Multi-host: `batch` is
+    this process's local rows (total_batch // process_count of them) and the
+    global array is assembled with jax.make_array_from_process_local_data —
+    the TPU-native replacement for DistributedSampler + per-rank batches
+    (reference utils.py:216-228, train_lres.py:65-67).
+    """
+    multihost = jax.process_count() > 1
+
     def put(x):
-        return jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis))
+        sharding = batch_sharding(mesh, np.ndim(x), axis)
+        if multihost:
+            return jax.make_array_from_process_local_data(sharding, np.asarray(x))
+        return jax.device_put(x, sharding)
+
     return jax.tree.map(put, batch)
 
 

@@ -85,13 +85,10 @@ def synthesize_time_sharded(
     # exact same values). Noise span arithmetic: window w starts at output
     # frame s = w*shard_len - halo; its emb span starts at s (same rate) and
     # the blur consumes kernel_size-1 extra noise samples.
-    in_len_full = G.compute_seq_lengths(seq_length + 2 * halo)[0]
-    emb_pad = (in_len_full * scale - (seq_length + 2 * halo))  # bookkeeping margin
     kernel = G.noise_kernel_size
     in_len_w = G.compute_seq_lengths(window_len)[0]
     noise_len_w = in_len_w * scale + kernel - 1
-    # Total noise covering every window: first window starts at -halo; margin
-    # emb_pad is shared by all windows (centered cropping).
+    # Total noise covering every window: first window starts at -halo.
     total_noise = (num_shards - 1) * shard_len + noise_len_w
     noise_channels = G.noise_channels
     noise = jax.random.normal(rng, (batch_size, noise_channels, total_noise), jnp.float32)
@@ -110,12 +107,3 @@ def synthesize_time_sharded(
     fn = shard_map(shard_fn, mesh=mesh, in_specs=(spec_in,), out_specs=spec_out,
                    check_vma=False)
     return fn(noise)
-
-
-def time_sharded_noise_equivalent(G: VideoGenerator, variables, noise: jax.Array,
-                                  seq_length: int, halo: int) -> jax.Array:
-    """Reference path for the exactness test: synthesize seq_length + 2*halo
-    frames from the given noise stream, then center... no — keep the full
-    unsharded synthesis for comparison (see tests/test_temporal_sharding.py)."""
-    window_len = seq_length + 2 * halo
-    return _window_video_from_noise(G, variables, noise, window_len)

@@ -28,6 +28,35 @@ import pytest  # noqa: E402
 
 REFERENCE_DIR = "/root/reference"
 
+# ----------------------------------------------------------------- test tiers
+# smoke: full signal in < 2 min on one core (pytest -m smoke).
+# oracle: numerical comparisons against the PyTorch reference checkout.
+# slow: heavy compiles (full-size models, multi-step training, Pallas).
+_ORACLE_MODULES = {
+    "test_augment", "test_bias_act", "test_convert_cli", "test_filtered_lrelu",
+    "test_parity_discriminators", "test_parity_lres", "test_parity_sres",
+    "test_upfirdn2d",
+}
+_SLOW_MODULES = {
+    "test_parity_lres", "test_parity_sres", "test_parity_discriminators",
+    "test_convert_cli", "test_train_steps", "test_pallas_kernel",
+    "test_generators", "test_temporal_sharding", "test_multihost",
+    "test_pallas_fused", "test_i3d",
+}
+
+collect_ignore = ["multihost_worker.py"]
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        mod = item.module.__name__.rsplit(".", 1)[-1]
+        if mod in _ORACLE_MODULES:
+            item.add_marker(pytest.mark.oracle)
+        if mod in _SLOW_MODULES:
+            item.add_marker(pytest.mark.slow)
+        else:
+            item.add_marker(pytest.mark.smoke)
+
 
 def has_reference() -> bool:
     return os.path.isdir(REFERENCE_DIR)

@@ -65,6 +65,13 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
     import jax
     import jax.numpy as jnp
 
+    from long_video_gan_tpu.parallel.multihost import (
+        is_main_process, local_batch_size, maybe_initialize_distributed)
+
+    # Multi-host SPMD (env-gated; no-op single host). Must precede backend init.
+    # Launch recipe: parallel/multihost.py docstring.
+    maybe_initialize_distributed()
+
     if os.environ.get("LVG_PLATFORM"):
         # The axon TPU plugin ignores JAX_PLATFORMS; honor our own env knob.
         jax.config.update("jax_platforms", os.environ["LVG_PLATFORM"])
@@ -95,12 +102,13 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
     result_dataset = VideoDataset(c.dataset_dir, c.result_seq_length, c.height, c.width,
                                   x_flip=c.x_flip)
     data_iter = get_infinite_data_iter(
-        dataset, batch_size=c.total_batch, seed=seed,
+        dataset, batch_size=local_batch_size(c.total_batch), seed=seed,
         shard_id=jax.process_index(), num_shards=jax.process_count(), **c.loader_kwargs)
 
     # Save one real video for reference (reference train_lres.py:99-112).
-    real = result_dataset.sample(0, np.random.default_rng(seed))["video"]
-    write_video_grid(real[None], samples_dir / "real-long.mp4")
+    if is_main_process():
+        real = result_dataset.sample(0, np.random.default_rng(seed))["video"]
+        write_video_grid(real[None], samples_dir / "real-long.mp4")
 
     print("Constructing low res GAN model ...")
     gan = LowResVideoGAN(seq_length=c.seq_length, height=c.height, width=c.width,
@@ -139,17 +147,18 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
                               total_sec=time.time() - start_time, timestamp=time.time(),
                               cpu_mem_gb=host_memory_gb(),
                               peak_device_mem_gb=peak_device_memory_gb())
-                stats_fp.write(json.dumps(record) + "\n")
-                stats_fp.flush()
-                print(f"step {step:<8d} tick {tick:<5d} sec/step {sec_per_step:<7.3f} "
-                      f"G_loss {record.get('loss/G_loss', float('nan')):.3f} "
-                      f"D_loss {record.get('loss/D_loss', float('nan')):.3f}")
-                if use_wandb:
-                    import wandb
+                if is_main_process():
+                    stats_fp.write(json.dumps(record) + "\n")
+                    stats_fp.flush()
+                    print(f"step {step:<8d} tick {tick:<5d} sec/step {sec_per_step:<7.3f} "
+                          f"G_loss {record.get('loss/G_loss', float('nan')):.3f} "
+                          f"D_loss {record.get('loss/D_loss', float('nan')):.3f}")
+                    if use_wandb:
+                        import wandb
 
-                    wandb.log(record, step=step)
+                        wandb.log(record, step=step)
 
-            if tick % c.ticks_per_G_ema_ckpt == 0:
+            if tick % c.ticks_per_G_ema_ckpt == 0 and is_main_process():
                 host_state = jax.device_get(state)
                 save_generator(str(ckpt_dir / f"ckpt-{step:08d}-G-ema.lvg"),
                                host_state.G_ema, G_config)
@@ -236,22 +245,34 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     if total_steps is not None:
         c.total_steps = total_steps
     c.matmul_precision = matmul_precision
-    seed = int(np.random.SeedSequence().entropy % (2**31)) if seed is None else seed
+
+    from long_video_gan_tpu.parallel.multihost import (
+        is_main_process, maybe_initialize_distributed)
+
+    maybe_initialize_distributed()
+    if seed is None:
+        import jax
+
+        # Multi-host: every process must use the same seed, so a random one
+        # cannot be drawn independently per host.
+        assert jax.process_count() == 1, "multi-host runs must pass --seed"
+        seed = int(np.random.SeedSequence().entropy % (2**31))
 
     from long_video_gan_tpu.utils.video import get_next_run_dir
 
     desc = f"{Path(dataset_dir).name}-{total_batch}batch-{grad_accum}accum-{r1_gamma}gamma"
     run_dir = get_next_run_dir(outdir, desc=desc)
-    Path(run_dir).mkdir(parents=True, exist_ok=True)
-    print(f"Run dir: {run_dir}  seed: {seed}")
-    with open(Path(run_dir, "config.json"), "w") as fp:
-        json.dump(dict(c, run_dir=run_dir, seed=seed), fp, indent=2, default=str)
-    if use_wandb:
-        import wandb
+    if is_main_process():
+        Path(run_dir).mkdir(parents=True, exist_ok=True)
+        print(f"Run dir: {run_dir}  seed: {seed}")
+        with open(Path(run_dir, "config.json"), "w") as fp:
+            json.dump(dict(c, run_dir=run_dir, seed=seed), fp, indent=2, default=str)
+        if use_wandb:
+            import wandb
 
-        wandb.init(dir=run_dir, name=Path(run_dir).name, project="long-video-gan-lres",
-                   config=c)
-    train(c, run_dir, seed, resume, use_wandb)
+            wandb.init(dir=run_dir, name=Path(run_dir).name, project="long-video-gan-lres",
+                       config=c)
+    train(c, run_dir, seed, resume, use_wandb and is_main_process())
 
 
 if __name__ == "__main__":
