@@ -260,10 +260,20 @@ class SynthesisLayer(nn.Module):
 
         gain = 1.0 if self.is_torgb else math.sqrt(2.0)
         slope = 1.0 if self.is_torgb else 0.2
+        impl = self.resample_impl
+        if impl == "auto":
+            # Measured policy (scripts/bench_layers.py, v5e, production plan):
+            # the banded fused Pallas kernel wins on the up4 layers and the
+            # large low-channel-count maps (164x276); XLA's batched
+            # banded-matrix einsums win on small maps where per-image kernel
+            # dispatch dominates and on the 92x148 up2 layers.
+            pixels = int(self.in_size[0]) * int(self.in_size[1])
+            impl = "fused" if ((self.up_factor >= 4 and pixels >= 56 * 84)
+                               or pixels >= 164 * 276) else "matrix"
         x = filtered_lrelu(x, fu=self.up_filter, fd=self.down_filter,
                            b=self.bias.astype(x.dtype), up=self.up_factor,
                            down=self.down_factor, padding=self.padding, gain=gain,
-                           slope=slope, clamp=self.conv_clamp, impl=self.resample_impl)
+                           slope=slope, clamp=self.conv_clamp, impl=impl)
         assert_shape(x, (None, self.out_channels, int(self.out_size[1]), int(self.out_size[0])))
         assert x.dtype == dtype
         return x

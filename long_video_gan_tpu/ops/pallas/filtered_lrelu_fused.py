@@ -86,14 +86,87 @@ def _mm(a, b):
     return jnp.dot(a, b, preferred_element_type=jnp.float32)
 
 
-def _pick_block_images(h, w, hu, wu, ho, wo, itemsize, budget_bytes=8 << 20):
-    """Images per grid step: enough independent matmul chains to keep the MXU
-    busy across the VPU activation stage, bounded by VMEM."""
-    per_image = (h * w + ho * wo) * itemsize * 2          # in/out, double-buffered
-    per_image += (hu * w + hu * wu + hu * wo) * 4         # f32 temps
-    mats = (hu * h + w * wu + ho * hu + wu * wo) * itemsize
-    k = max(1, (budget_bytes - mats) // max(per_image, 1))
-    return int(min(k, 16))
+def _col_tile_windows(mat: np.ndarray, tile: int = 128, kalign: int = 128):
+    """For each `tile`-wide output column block of a banded RHS operator
+    [I, O], the kalign-aligned input-row window [i0, i1) that covers its
+    nonzeros. Static (trace-time) — the band structure is data-independent."""
+    i_dim, o_dim = mat.shape
+    wins = []
+    for c0 in range(0, o_dim, tile):
+        sub = mat[:, c0:c0 + tile]
+        nz = np.nonzero(np.any(sub != 0, axis=1))[0]
+        if nz.size == 0:
+            wins.append((c0, 0, 0))
+            continue
+        i0 = (int(nz.min()) // kalign) * kalign
+        i1 = min(i_dim, (int(nz.max()) // kalign + 1) * kalign)
+        wins.append((c0, i0, i1))
+    return wins
+
+
+def _row_tile_windows(mat: np.ndarray, tile: int = 128, kalign: int = 128):
+    """Same for a banded LHS operator [O, I]: per output ROW block, the
+    aligned input-column window."""
+    o_dim, i_dim = mat.shape
+    wins = []
+    for r0 in range(0, o_dim, tile):
+        sub = mat[r0:r0 + tile, :]
+        nz = np.nonzero(np.any(sub != 0, axis=0))[0]
+        if nz.size == 0:
+            wins.append((r0, 0, 0))
+            continue
+        i0 = (int(nz.min()) // kalign) * kalign
+        i1 = min(i_dim, (int(nz.max()) // kalign + 1) * kalign)
+        wins.append((r0, i0, i1))
+    return wins
+
+
+def _banded_rhs_mm(t, mat_ref, mat_np, out_cols):
+    """t [M, I] @ banded mat [I, O] via per-column-tile windows (static
+    slices only — tile-aligned, so no relayouts). Skips the zero K-tiles the
+    dense matmul would stream."""
+    pieces = []
+    for c0, i0, i1 in _col_tile_windows(mat_np):
+        width = min(128, out_cols - c0)
+        if i1 <= i0:
+            pieces.append(jnp.zeros((t.shape[0], width), jnp.float32))
+            continue
+        pieces.append(_mm(t[:, i0:i1], mat_ref[i0:i1, c0:c0 + width]))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=1)
+
+
+def _banded_lhs_mm(mat_ref, mat_np, x, out_rows):
+    """banded mat [O, I] @ x [I, N] via per-row-tile windows."""
+    pieces = []
+    for r0, i0, i1 in _row_tile_windows(mat_np):
+        height = min(128, out_rows - r0)
+        if i1 <= i0:
+            pieces.append(jnp.zeros((height, x.shape[1]), jnp.float32))
+            continue
+        pieces.append(_mm(mat_ref[r0:r0 + height, i0:i1], x[i0:i1, :]))
+    return pieces[0] if len(pieces) == 1 else jnp.concatenate(pieces, axis=0)
+
+
+def _banded_flops(mat_np, rhs: bool, other_dim: int) -> int:
+    wins = _col_tile_windows(mat_np) if rhs else _row_tile_windows(mat_np)
+    total = 0
+    for _, i0, i1 in wins:
+        total += 2 * 128 * (i1 - i0) * other_dim
+    return total
+
+
+def _ceil(v: int, m: int) -> int:
+    return (v + m - 1) // m * m
+
+
+def _pick_block_images(h, wp, hup, wup, wop, itemsize, budget_bytes=8 << 20):
+    """Images per grid step, bounded by VMEM (padded-layout accounting)."""
+    per_image = (h * wp + 160 * wop) * itemsize * 2       # in/out double-buffered
+    per_image += hup * wp * 2                             # t1 scratch (bf16/f32)
+    per_image += hup * wup * 6 + hup * wop * 6            # u/t3 f32 + bf16 copies
+    mats = (hup * h + wp * wup + wup * wop + hup * 2 * h) * itemsize
+    k = max(1, int((budget_bytes - mats) // max(per_image, 1)))
+    return min(k, 8)
 
 
 @functools.partial(
@@ -113,50 +186,70 @@ def _fused_fwd(x, *, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
                        None if clamp is None else float(clamp))
 
     mat_dtype = x.dtype if x.dtype == jnp.bfloat16 else jnp.float32
-    au_j = jnp.asarray(au, mat_dtype)
-    but_j = jnp.asarray(bu.T, mat_dtype)     # [W, Wu]
-    ad_j = jnp.asarray(ad, mat_dtype)
-    bdt_j = jnp.asarray(bd.T, mat_dtype)     # [Wu, Wo]
     out_dtype = x.dtype
 
-    k = _pick_block_images(h, w, hu, wu, ho, wo, x.dtype.itemsize)
+    # Lane/sublane-aligned padded layout: every W-ish dim to a lane tile (128),
+    # the row-stack stride HUP to a sublane tile (16) so per-image rows of the
+    # shared scratch stay tile-aligned and ALL reshapes/stacks are free.
+    # Zero padding is exact: lrelu/clamp keep 0 -> 0 and zero rows/cols of the
+    # operators contribute nothing.
+    wp = _ceil(w, 128)
+    wup = _ceil(wu, 128)
+    wop = _ceil(wo, 128)
+    hup = _ceil(hu, 16)
+
+    au_np = np.pad(au, [(0, hup - hu), (0, 0)])                      # [HUP, H]
+    but_np = np.pad(bu.T, [(0, wp - w), (0, wup - wu)])              # [WP, WUP]
+    ad_np = np.pad(ad, [(0, 0), (0, hup - hu)])                      # [Ho, HUP]
+    bdt_np = np.pad(bd.T, [(0, wup - wu), (0, wop - wo)])            # [WUP, WOP]
+    au_j = jnp.asarray(au_np, mat_dtype)
+    but_j = jnp.asarray(but_np, mat_dtype)
+    ad_j = jnp.asarray(ad_np, mat_dtype)
+    bdt_j = jnp.asarray(bdt_np, mat_dtype)
+
+    k = _pick_block_images(h, wp, hup, wup, wop, x.dtype.itemsize)
     bp = (b + k - 1) // k * k
-    if bp != b:
-        x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
+    x = jnp.pad(x, [(0, bp - b), (0, 0), (0, wp - w)])
 
-    def kernel(x_ref, au_ref, but_ref, ad_ref, bdt_ref, o_ref):
-        # k independent 4-matmul chains per grid step: Mosaic overlaps image
-        # j's VPU activation with image j+1's MXU matmuls.
+    def kernel(x_ref, au_ref, but_ref, ad_ref, bdt_ref, o_ref, t1_ref):
+        # Per-image H-resample dots rows-stack into the aligned scratch, then
+        # the two big W-axis matmuls + activation run batched over all k
+        # images. Every matmul is block-banded: only the 128-tiles inside the
+        # operator's band are contracted (the dense operators are ~95% zeros).
         for j in range(k):
-            xt = x_ref[j]                                    # [H, W]
-            t1 = _mm(au_ref[...], xt)                        # [Hu, W]  f32
-            u = _mm(t1.astype(mat_dtype), but_ref[...])      # [Hu, Wu] f32
-            z = act(u)
-            t3 = _mm(z.astype(mat_dtype), bdt_ref[...])      # [Hu, Wo]
-            o_ref[j] = _mm(ad_ref[...], t3.astype(mat_dtype)).astype(out_dtype)
+            t1 = _banded_lhs_mm(au_ref, au_np, x_ref[j], hup)    # [HUP, WP]
+            t1_ref[j * hup:(j + 1) * hup, :] = t1.astype(mat_dtype)
+        u = _banded_rhs_mm(t1_ref[...], but_ref, but_np, wup)    # [k*HUP, WUP]
+        z = act(u).astype(mat_dtype)
+        t3 = _banded_rhs_mm(z, bdt_ref, bdt_np, wop).astype(mat_dtype)
+        for j in range(k):
+            o_ref[j] = _banded_lhs_mm(
+                ad_ref, ad_np, t3[j * hup:(j + 1) * hup, :], ho).astype(out_dtype)
 
-    flops_img = 2 * (hu * h * w + hu * w * wu + hu * wu * wo + ho * hu * wo)
+    flops_img = (_banded_flops(au_np, False, wp) + _banded_flops(but_np, True, hup)
+                 + _banded_flops(bdt_np, True, hup) + _banded_flops(ad_np, False, wop))
     out = pl.pallas_call(
         kernel,
         grid=(bp // k,),
         in_specs=[
-            pl.BlockSpec((k, h, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((hu, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((w, wu), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((ho, hu), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((wu, wo), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, h, wp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((hup, h), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wp, wup), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((ho, hup), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((wup, wop), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((k, ho, wo), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((k, ho, wop), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bp, ho, wo), out_dtype),
+        out_shape=jax.ShapeDtypeStruct((bp, ho, wop), out_dtype),
+        scratch_shapes=[pltpu.VMEM((k * hup, wp), mat_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=flops_img * bp,
-            bytes_accessed=(bp * (h * w + ho * wo)) * x.dtype.itemsize,
+            bytes_accessed=(bp * (h * wp + ho * wop)) * x.dtype.itemsize,
             transcendentals=0),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=128 * 1024 * 1024),
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(x, au_j, but_j, ad_j, bdt_j)
-    return out[:b] if bp != b else out
+    return out[:b, :, :wo]
 
 
 @functools.partial(

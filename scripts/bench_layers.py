@@ -38,10 +38,12 @@ def main():
     # Build the real layer stack once to harvest exact per-layer configs.
     net = SynthesisNetwork(w_dim=512, img_width=256, img_height=144,
                            img_channels=3, cond_channels=27, num_fp16_res=4)
+    plan = net.plan()
+    conds = [jnp.zeros((1, 27, int(plan["sizes_y"][max(i - 1, 0)]),
+                        int(plan["sizes_x"][max(i - 1, 0)])), jnp.float32)
+             for i in range(net.num_ws)]
     variables = jax.eval_shape(
-        lambda: net.init(jax.random.key(0),
-                         jnp.zeros((1, net.num_ws, 512)),
-                         [jnp.zeros((1, 27, 9, 9), jnp.float32)] * net.num_ws))
+        lambda: net.init(jax.random.key(0), jnp.zeros((1, net.num_ws, 512)), conds))
     variables = jax.tree.map(lambda s: np.zeros(s.shape, s.dtype), variables)
     layers = net.bind(variables).layers
 
@@ -49,13 +51,36 @@ def main():
     frames = args.segment
     impls = args.impls.split(",")
 
+    R = 8  # on-device repeats per call: amortizes the ~26 ms axon round-trip
+
     def timeit(fn, *xs):
-        y = fn(*xs)
-        float(jnp.sum(y.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            float(jnp.sum(fn(*xs).astype(jnp.float32)))
-        return (time.perf_counter() - t0) / args.iters
+        """Net per-op seconds via R on-device repeats + control subtraction."""
+        x0 = xs[0]
+
+        @jax.jit
+        def run(*xs):
+            def body(i, s):
+                xi = xs[0] * (1.0 + i.astype(x0.dtype) * x0.dtype.type(1e-8))
+                return s + jnp.sum(fn(xi, *xs[1:]).astype(jnp.float32))
+            return jax.lax.fori_loop(0, R, body, jnp.float32(0))
+
+        @jax.jit
+        def ctrl(*xs):
+            def body(i, s):
+                xi = xs[0] * (1.0 + i.astype(x0.dtype) * x0.dtype.type(1e-8))
+                return s + jnp.sum(xi.astype(jnp.float32))
+            return jax.lax.fori_loop(0, R, body, jnp.float32(0))
+
+        def med(f):
+            float(f(*xs))
+            ts = []
+            for _ in range(args.iters):
+                t0 = time.perf_counter()
+                float(f(*xs))
+                ts.append(time.perf_counter() - t0)
+            return sorted(ts)[len(ts) // 2]
+
+        return max(0.0, (med(run) - med(ctrl)) / R)
 
     totals = {impl: 0.0 for impl in impls}
     conv_total = 0.0
