@@ -109,6 +109,19 @@ def get_detector(spec: str) -> Callable:
                 print(f"i3d native conversion failed ({e}); torchscript fallback")
                 return TorchscriptDetector(
                     path, dict(rescale=True, resize=True, return_features=True))
+    if spec.startswith("inception:") or spec == "inception" \
+            or "inception" in os.path.basename(spec):
+        path = spec.split(":", 1)[1] if spec.startswith("inception:") else (
+            spec if os.path.isfile(spec)
+            else os.path.join(os.environ.get(DETECTOR_DIR_ENV, ""), "inception.pkl"))
+        if os.path.isfile(path):
+            try:
+                from .inception_v3 import InceptionDetector
+
+                return InceptionDetector.from_torchscript(path)
+            except Exception as e:  # unexpected export layout: black-box fallback
+                print(f"inception native conversion failed ({e}); torchscript fallback")
+                return TorchscriptDetector(path, dict(return_features=True))
     if os.path.isfile(spec):
         return TorchscriptDetector(spec)
     base = os.environ.get(DETECTOR_DIR_ENV, "")

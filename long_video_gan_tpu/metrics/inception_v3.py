@@ -206,3 +206,58 @@ def inception_variables_from_state_dict(state_dict: dict[str, Any],
             node = node.setdefault(s, {})
         node[_CONV_KEYS[tail]] = v
     return {"params": params}
+
+
+import functools  # noqa: E402
+
+
+@functools.lru_cache(maxsize=4)
+def _jitted_inception(return_probs: bool, no_output_bias: bool):
+    model = InceptionV3()
+
+    @jax.jit
+    def run(variables, images):
+        x = images.astype(jnp.float32)
+        n, c, h, w = x.shape
+        if (h, w) != (299, 299):
+            x = jax.image.resize(x, (n, c, 299, 299), method="bilinear")
+        x = x / 127.5 - 1.0
+        feats, logits = model.apply(variables, x)
+        if no_output_bias:
+            # logits = feats @ fc_w.T + fc_b; drop the bias term exactly
+            # (reference is50k detector_kwargs, inception_score.py:26).
+            logits = logits - variables["params"]["fc_b"]
+        return feats, jax.nn.softmax(logits, axis=-1)
+
+    return run
+
+
+class InceptionDetector:
+    """Detector-contract wrapper: uint8 images [N, C, H, W] -> 2048-d features
+    (or class probabilities with return_probs=True), computed on-device.
+    Mirrors the reference detector call surface (frechet_inception_distance.py
+    detector_kwargs=dict(return_features=True), inception_score.py
+    dict(no_output_bias=True))."""
+
+    def __init__(self, variables):
+        self.variables = variables
+
+    @classmethod
+    def from_torchscript(cls, path: str) -> "InceptionDetector":
+        import pickle
+
+        import torch
+
+        if path.endswith(".pkl"):
+            with open(path, "rb") as fp:
+                module = pickle.load(fp)
+        else:
+            module = torch.jit.load(path, map_location="cpu")
+        return cls(inception_variables_from_state_dict(module.state_dict()))
+
+    def __call__(self, batch: np.ndarray, return_features: bool = True,
+                 return_probs: bool = False, no_output_bias: bool = False,
+                 **_) -> np.ndarray:
+        run = _jitted_inception(bool(return_probs), bool(no_output_bias))
+        feats, probs = run(self.variables, jnp.asarray(batch))
+        return np.asarray(probs if return_probs else feats)

@@ -103,7 +103,6 @@ def compute_feature_stats_for_dataset(
     if video_metric:
         ds = VideoDataset(min_spacing=frame_spacing, max_spacing=frame_spacing,
                           **dataset_kwargs)
-        weights_fn = lambda items: None  # noqa: E731
     else:
         ds = VideoDatasetPerImage(**dataset_kwargs)
 

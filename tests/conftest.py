@@ -41,7 +41,7 @@ _SLOW_MODULES = {
     "test_parity_lres", "test_parity_sres", "test_parity_discriminators",
     "test_convert_cli", "test_train_steps", "test_pallas_kernel",
     "test_generators", "test_temporal_sharding", "test_multihost",
-    "test_pallas_fused", "test_i3d", "test_inception_v3",
+    "test_pallas_fused", "test_i3d", "test_inception_v3", "test_metrics",
 }
 
 collect_ignore = ["multihost_worker.py"]

@@ -109,7 +109,8 @@ class TI3D(torch.nn.Module):
         x = t_max_pool_same(x, (2, 2, 2), (2, 2, 2))
         x = self.Mixed_5b(x)
         x = self.Mixed_5c(x)
-        pooled = F.avg_pool3d(x, (min(2, x.shape[2]), 7, 7), stride=1)
+        pooled = F.avg_pool3d(x, (min(2, x.shape[2]), min(7, x.shape[3]),
+                                  min(7, x.shape[4])), stride=1)
         features = pooled.mean(dim=(2, 3, 4))
         logits = self.logits(pooled.mean(dim=(3, 4), keepdim=True)).mean(dim=(2, 3, 4))
         return features, logits
@@ -150,7 +151,9 @@ def test_i3d_detector_roundtrip_via_torchscript(tmp_path, torch_i3d, rng):
     from long_video_gan_tpu.metrics.i3d import I3DDetector
 
     path = str(tmp_path / "i3d.pt")
-    torch.jit.script(torch_i3d).save(path)
+    example = torch.zeros(1, 3, 16, 64, 64)
+    with torch.no_grad():
+        torch.jit.trace(torch_i3d, example).save(path)
 
     det = I3DDetector.from_torchscript(path)
     video_u8 = (rng.random((1, 3, 16, 64, 64)) * 255).astype(np.uint8)
@@ -167,3 +170,22 @@ def test_i3d_detector_roundtrip_via_torchscript(tmp_path, torch_i3d, rng):
     with torch.no_grad():
         want, _ = torch_i3d(x)
     np.testing.assert_allclose(feats, want.numpy(), rtol=5e-3, atol=5e-3)
+
+
+def test_get_detector_resolves_i3d_natively(tmp_path, torch_i3d, rng, monkeypatch):
+    """metrics.detectors.get_detector('i3d') must pick the native on-device
+    I3D when $LVG_DETECTOR_DIR/i3d.pt exists (FVD path, reference
+    metric_utils.py:55-78)."""
+    from long_video_gan_tpu.metrics import detectors
+    from long_video_gan_tpu.metrics.i3d import I3DDetector
+
+    example = torch.zeros(1, 3, 16, 64, 64)
+    with torch.no_grad():
+        torch.jit.trace(torch_i3d, example).save(str(tmp_path / "i3d.pt"))
+    monkeypatch.setenv(detectors.DETECTOR_DIR_ENV, str(tmp_path))
+    detectors.get_detector.cache_clear()
+    det = detectors.get_detector("i3d")
+    assert isinstance(det, I3DDetector)
+    feats = det((rng.random((1, 3, 16, 64, 64)) * 255).astype(np.uint8))
+    assert feats.shape == (1, 1024) and np.isfinite(feats).all()
+    detectors.get_detector.cache_clear()

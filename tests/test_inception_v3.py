@@ -186,3 +186,31 @@ def test_inception_converted_features_match(rng):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_logits), want_logits.numpy(),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_inception_detector_roundtrip(tmp_path, rng, monkeypatch):
+    """Traced-module file -> converter -> on-device detector, incl. the
+    is50k no_output_bias option (reference inception_score.py:26)."""
+    from long_video_gan_tpu.metrics import detectors
+    from long_video_gan_tpu.metrics.inception_v3 import InceptionDetector
+
+    torch.manual_seed(1)
+    m = TInceptionV3().eval()
+    example = torch.zeros(1, 3, 299, 299)
+    path = str(tmp_path / "inception.pt")
+    with torch.no_grad():
+        torch.jit.trace(m, example).save(path)
+
+    det = InceptionDetector.from_torchscript(path)
+    imgs = (rng.random((2, 3, 64, 64)) * 255).astype(np.uint8)
+    feats = det(imgs, return_features=True)
+    assert feats.shape == (2, 2048) and np.isfinite(feats).all()
+    probs = det(imgs, return_probs=True, no_output_bias=True)
+    assert probs.shape == (2, 1008)
+    np.testing.assert_allclose(probs.sum(axis=1), 1.0, rtol=1e-4)
+
+    # Registry resolution by basename.
+    detectors.get_detector.cache_clear()
+    got = detectors.get_detector(path)
+    assert isinstance(got, InceptionDetector)
+    detectors.get_detector.cache_clear()

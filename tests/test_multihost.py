@@ -53,8 +53,7 @@ def test_two_process_train_step_agrees():
     for out in outs:
         lines = [l for l in out.splitlines() if l.startswith("CHECKSUM")]
         assert len(lines) == 1, out
-        _, pid, g, d = lines[0].split()
-        checksums[pid] = (g, d)
+        _, pid, *vals = lines[0].split()
+        checksums[pid] = tuple(vals)
     assert len(checksums) == 2
-    (g0, d0), (g1, d1) = checksums["0"], checksums["1"]
-    assert g0 == g1 and d0 == d1, checksums
+    assert checksums["0"] == checksums["1"], checksums
