@@ -33,7 +33,7 @@ def _peak_hbm_gb() -> float:
         return float("nan")
 
 
-def bench_lres(accum: int, steps: int) -> dict:
+def bench_lres(accum: int, steps: int, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -46,7 +46,7 @@ def bench_lres(accum: int, steps: int) -> dict:
         seq_length=seq, height=36, width=64, total_batch=total_batch,
         G_grad_accum=accum, D_grad_accum=accum,
         G_random_temp_translate=True, temp_scale_augment=1.0,
-        r1_gamma=1.0,
+        r1_gamma=1.0, remat=remat,
         G_kwargs=dict(num_fp16_layers=0, temporal_padding=8, temporal_emb_dim=1024),
         D_kwargs=dict(num_fp16_res=0),
     )
@@ -74,7 +74,7 @@ def bench_lres(accum: int, steps: int) -> dict:
                                         with_r1=(i % r1_interval == 0))
     # Force completion (axon: scalar readback is the reliable sync).
     float(jax.device_get(state.step))
-    float(jax.device_get(g_stats["loss/G_loss"]))
+    float(np.sum(jax.device_get(g_stats["loss/G_loss"])))
     elapsed = time.perf_counter() - start
 
     return {
@@ -82,11 +82,12 @@ def bench_lres(accum: int, steps: int) -> dict:
         "value": round(elapsed / steps, 4),
         "unit": "sec/step",
         "grad_accum": accum,
+        "remat": remat,
         "peak_hbm_gb": round(_peak_hbm_gb(), 2),
     }
 
 
-def bench_sres(accum: int, steps: int) -> dict:
+def bench_sres(accum: int, steps: int, remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -99,8 +100,8 @@ def bench_sres(accum: int, steps: int) -> dict:
         seq_length=seq, temporal_context=ctx,
         lr_height=36, lr_width=64, hr_height=144, hr_width=256,
         total_batch=total_batch, G_grad_accum=accum, D_grad_accum=accum,
-        r1_gamma=1.0,
-        G_kwargs=dict(num_fp16_res=4),
+        r1_gamma=1.0, remat=remat,
+        G_kwargs=dict(num_fp16_res=4, resample_impl="auto"),
         D_kwargs=dict(num_fp16_res=4),
     )
     state = gan.init_state(jax.random.key(0))
@@ -129,7 +130,7 @@ def bench_sres(accum: int, steps: int) -> dict:
     for i in range(steps):
         state, g_stats = cycle(state, jax.random.fold_in(jax.random.key(2), i), i)
     float(jax.device_get(state.step))
-    float(jax.device_get(g_stats["loss/G_loss"]))
+    float(np.sum(jax.device_get(g_stats["loss/G_loss"])))
     elapsed = time.perf_counter() - start
 
     return {
@@ -137,6 +138,7 @@ def bench_sres(accum: int, steps: int) -> dict:
         "value": round(elapsed / steps, 4),
         "unit": "sec/step",
         "grad_accum": accum,
+        "remat": remat,
         "peak_hbm_gb": round(_peak_hbm_gb(), 2),
     }
 
@@ -152,12 +154,13 @@ def main():
     ap.add_argument("--lres-accum", type=int, default=16)
     ap.add_argument("--sres-accum", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--remat", action="store_true")
     args = ap.parse_args()
 
     if args.config in ("lres", "both"):
-        print(json.dumps(bench_lres(args.lres_accum, args.steps)), flush=True)
+        print(json.dumps(bench_lres(args.lres_accum, args.steps, args.remat)), flush=True)
     if args.config in ("sres", "both"):
-        print(json.dumps(bench_sres(args.sres_accum, args.steps)), flush=True)
+        print(json.dumps(bench_sres(args.sres_accum, args.steps, args.remat)), flush=True)
 
 
 if __name__ == "__main__":

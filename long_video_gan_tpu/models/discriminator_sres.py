@@ -113,13 +113,13 @@ class DiscriminatorBlock(nn.Module):
             y = self.skip(x)
             x = self.conv0(x)
             x = self.conv1(x)
-            x = (x + y) * np.sqrt(0.5)
+            x = (x + y) * float(np.sqrt(0.5))
         elif self.architecture == "resnet2":
             y = downsample2d(x, self._filter)
             y = jnp.concatenate([y, y], axis=1)[:, : self.out_channels]
             x = self.conv0(x)
             x = self.conv1(x)
-            x = (x + y) * np.sqrt(0.5)
+            x = (x + y) * float(np.sqrt(0.5))
         else:
             x = self.conv0(x)
             x = self.conv1(x)
@@ -187,7 +187,7 @@ class DiscriminatorEpilogue(nn.Module):
             x = jnp.mean(x, axis=(2, 3))
         x = self.out(x)
         if conditioning is not None:
-            x = jnp.sum(x * conditioning, axis=1, keepdims=True) / np.sqrt(conditioning.shape[1])
+            x = jnp.sum(x * conditioning, axis=1, keepdims=True) / float(np.sqrt(conditioning.shape[1]))
         return x
 
 

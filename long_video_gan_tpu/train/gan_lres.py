@@ -73,6 +73,12 @@ class LowResVideoGAN:
 
     temp_scale_augment: float = 0.0
     diffaug_policy: str = "color,translation,cutout"
+    # Wrap each micro-batch loss in jax.checkpoint. NOTE: measured on v5e,
+    # a whole-loss checkpoint does NOT cut peak HBM (the en-bloc recompute
+    # re-materializes every residual before the backward); shrink micro
+    # batches via grad_accum to fit memory instead. Per-block remat inside
+    # the generators is the real lever and is tracked as future work.
+    remat: bool = False
 
     def __post_init__(self):
         assert self.total_batch % self.G_grad_accum == 0
@@ -150,6 +156,9 @@ class LowResVideoGAN:
             loss = jnp.mean(jax.nn.softplus(-logits))
             return loss, logits
 
+        if self.remat:
+            micro_loss = jax.checkpoint(micro_loss)
+
         def accum_step(carry, key):
             grads_acc, stats_acc = carry
             (loss, logits), grads = jax.value_and_grad(micro_loss, has_aux=True)(
@@ -180,16 +189,8 @@ class LowResVideoGAN:
     def _update_D(self, state: GANState, key: jax.Array, real_video: jax.Array):
         assert_shape(real_video, (self.total_batch, self.channels, self.seq_length,
                                   self.height, self.width))
-        k_gen, k_steps = jax.random.split(key)
-
-        # Fake batch generated in one pass (magnitude EMAs update here,
-        # reference video_gan_lres.py:140-143).
-        fake_video, new_G = self._generate(state.G, k_gen, self.total_batch, True)
-        state = state.replace(G=new_G)
-
         accum = self.D_grad_accum
         micro = self.total_batch // accum
-        fake_chunks = fake_video.reshape(accum, micro, *fake_video.shape[1:])
         real_chunks = real_video.reshape(accum, micro, *real_video.shape[1:])
 
         def micro_loss(params_D, fake, real, key):
@@ -201,11 +202,20 @@ class LowResVideoGAN:
             real_loss = jnp.mean(jax.nn.softplus(-real_logits))
             return fake_loss + real_loss, (fake_logits, real_logits, fake_loss + real_loss)
 
+        if self.remat:
+            micro_loss = jax.checkpoint(micro_loss)
+
         def accum_step(carry, xs):
-            grads_acc, stats_acc = carry
-            fake, real, key = xs
+            # Fakes are generated per micro-batch INSIDE the accumulation scan
+            # (reference video_gan_lres.py:154-156 generates per chunk) — the
+            # full-batch fake video never materializes, and the magnitude EMAs
+            # update per chunk exactly as the reference's loop does.
+            grads_acc, stats_acc, G_vars = carry
+            real, key = xs
+            k_gen_i, k_d = jax.random.split(key)
+            fake, G_vars = self._generate(G_vars, k_gen_i, micro, True)
             (_, (fl, rl, total)), grads = jax.value_and_grad(micro_loss, has_aux=True)(
-                state.D["params"], fake, real, key)
+                state.D["params"], fake, real, k_d)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             stats_acc = {
                 "loss/D_score_fake": stats_acc["loss/D_score_fake"] + stats_lib.moments(fl),
@@ -214,15 +224,16 @@ class LowResVideoGAN:
                 "loss/D_sign_real": stats_acc["loss/D_sign_real"] + stats_lib.moments(jnp.sign(rl)),
                 "loss/D_loss": stats_acc["loss/D_loss"] + stats_lib.scalar_moments(total),
             }
-            return (grads_acc, stats_acc), None
+            return (grads_acc, stats_acc, G_vars), None
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.D["params"])
         names = ("loss/D_score_fake", "loss/D_score_real", "loss/D_sign_fake",
                  "loss/D_sign_real", "loss/D_loss")
         zero_stats = {k: jnp.zeros(3) for k in names}
-        keys = jax.random.split(k_steps, accum)
-        (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats),
-                                         (fake_chunks, real_chunks, keys))
+        keys = jax.random.split(key, accum)
+        (grads, stats, new_G), _ = jax.lax.scan(
+            accum_step, (zero_grads, zero_stats, state.G), (real_chunks, keys))
+        state = state.replace(G=new_G)
 
         grads = scrub_grads(grads, gain=1.0 / accum)
         lrate = warmup_lrate(self.D_lrate, state.step, self.D_warmup_steps)

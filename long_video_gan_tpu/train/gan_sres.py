@@ -77,6 +77,12 @@ class SuperResVideoGAN:
 
     r1_gamma: Optional[float] = 1.0
     lr_cond_prob: float = 0.1
+    # Wrap each micro-batch loss in jax.checkpoint. NOTE: measured on v5e,
+    # a whole-loss checkpoint does NOT cut peak HBM (the en-bloc recompute
+    # re-materializes every residual before the backward); shrink micro
+    # batches via grad_accum to fit memory instead. Per-block remat inside
+    # the generators is the real lever and is tracked as future work.
+    remat: bool = False
 
     augment_p_init: float = 0.0
     augment_p_max: float = 0.5
@@ -195,6 +201,9 @@ class SuperResVideoGAN:
             logits = self.run_D(state.D, kd, state.ada_p, lr_crop, hr)
             return jnp.mean(jax.nn.softplus(-logits)), logits
 
+        if self.remat:
+            micro_loss = jax.checkpoint(micro_loss)
+
         def accum_step(carry, xs):
             grads_acc, stats_acc = carry
             lr_chunk, key = xs
@@ -229,18 +238,17 @@ class SuperResVideoGAN:
                                      self.lr_height, self.lr_width))
         assert_shape(real_hr_video, (self.total_batch, self.channels, self.seq_length,
                                      self.hr_height, self.hr_width))
-        k_in1, k_in2, k_gen, k_steps = jax.random.split(key, 4)
+        k_in1, k_in2, k_steps = jax.random.split(key, 3)
         fake_lr_video = self._apply_in_augment(k_in1, fake_lr_video)
         real_lr_video = self._apply_in_augment(k_in2, real_lr_video)
 
-        fake_hr_video, new_G = self._hr_from_lr(state.G, k_gen, fake_lr_video, True)
-        state = state.replace(G=new_G)
         fake_lr_crop = self.crop_to_seq_length(fake_lr_video)
         real_lr_crop = self.crop_to_seq_length(real_lr_video)
 
         accum = self.D_grad_accum
         micro = self.total_batch // accum
         chunk = lambda x: x.reshape(accum, micro, *x.shape[1:])  # noqa: E731
+        fake_lr_chunks = chunk(fake_lr_video)
 
         def micro_loss(params_D, fl, fh, rl, rh, key):
             kf, kr = jax.random.split(key)
@@ -250,11 +258,20 @@ class SuperResVideoGAN:
             loss = jnp.mean(jax.nn.softplus(fake_logits)) + jnp.mean(jax.nn.softplus(-real_logits))
             return loss, (fake_logits, real_logits)
 
+        if self.remat:
+            micro_loss = jax.checkpoint(micro_loss)
+
         def accum_step(carry, xs):
-            grads_acc, stats_acc = carry
-            fl, fh, rl, rh, key = xs
+            # Fake hr frames are generated per micro-batch INSIDE the scan
+            # (reference video_gan_sres.py:178-220 chunks the G forward) so
+            # the full-batch fake video never materializes; w_avg / magnitude
+            # EMAs update per chunk as in the reference loop.
+            grads_acc, stats_acc, G_vars = carry
+            fl_ctx, fl, rl, rh, key = xs
+            k_gen_i, k_d = jax.random.split(key)
+            fh, G_vars = self._hr_from_lr(G_vars, k_gen_i, fl_ctx, True)
             (loss, (flg, rlg)), grads = jax.value_and_grad(micro_loss, has_aux=True)(
-                state.D["params"], fl, fh, rl, rh, key)
+                state.D["params"], fl, fh, rl, rh, k_d)
             grads_acc = jax.tree.map(jnp.add, grads_acc, grads)
             stats_acc = {
                 "loss/D_score_fake": stats_acc["loss/D_score_fake"] + stats_lib.moments(flg),
@@ -263,17 +280,18 @@ class SuperResVideoGAN:
                 "loss/D_sign_real": stats_acc["loss/D_sign_real"] + stats_lib.moments(jnp.sign(rlg)),
                 "loss/D_loss": stats_acc["loss/D_loss"] + stats_lib.scalar_moments(loss),
             }
-            return (grads_acc, stats_acc), None
+            return (grads_acc, stats_acc, G_vars), None
 
         zero_grads = jax.tree.map(jnp.zeros_like, state.D["params"])
         names = ("loss/D_score_fake", "loss/D_score_real", "loss/D_sign_fake",
                  "loss/D_sign_real", "loss/D_loss")
         zero_stats = {k: jnp.zeros(3) for k in names}
         keys = jax.random.split(k_steps, accum)
-        (grads, stats), _ = jax.lax.scan(
-            accum_step, (zero_grads, zero_stats),
-            (chunk(fake_lr_crop), chunk(fake_hr_video), chunk(real_lr_crop),
+        (grads, stats, new_G), _ = jax.lax.scan(
+            accum_step, (zero_grads, zero_stats, state.G),
+            (fake_lr_chunks, chunk(fake_lr_crop), chunk(real_lr_crop),
              chunk(real_hr_video), keys))
+        state = state.replace(G=new_G)
 
         grads = scrub_grads(grads, gain=1.0 / accum)
         lrate = warmup_lrate(self.D_lrate, state.step, self.D_warmup_steps)

@@ -128,3 +128,27 @@ def test_collector_window_semantics():
     c.report({"x": moments(jnp.asarray([10.0]))})
     c.update()
     assert c.mean("x") == pytest.approx(10.0)  # window = since last update
+
+
+def test_lres_remat_matches_no_remat(mesh):
+    """jax.checkpoint rematerialization must not change any numerics."""
+    rng = np.random.default_rng(7)
+    real = jnp.asarray(rng.standard_normal((8, 3, 8, 18, 32)).astype(np.float32))
+
+    results = []
+    for remat in (False, True):
+        gan = LowResVideoGAN(**LRES_CFG, remat=remat)
+        state = replicate(gan.init_state(jax.random.key(0)), mesh)
+        batch = shard_batch(real, mesh)
+        state, g_stats = gan.update_G(state, jax.random.key(1))
+        state, d_stats = gan.update_D(state, jax.random.key(2), batch)
+        results.append((
+            np.asarray(jax.device_get(g_stats["loss/G_loss"])),
+            np.asarray(jax.device_get(d_stats["loss/D_loss"])),
+            jax.device_get(jax.tree.leaves(state.G["params"])[0]),
+        ))
+
+    (g0, d0, p0), (g1, d1, p1) = results
+    np.testing.assert_allclose(g0, g1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(d0, d1, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(p0, p1, rtol=1e-6, atol=1e-6)

@@ -35,7 +35,7 @@ def build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
         D_lrate=0.003, D_beta2=0.99, lr_cond_prob=0.1, r1_gamma=r1_gamma,
         in_augment_p=0.5, in_augment_strength=8,
         G_grad_accum=grad_accum, D_grad_accum=grad_accum,
-        G_kwargs=EasyDict(num_fp16_res=4, fourfeats=False),
+        G_kwargs=EasyDict(num_fp16_res=4, fourfeats=False, resample_impl="auto"),
         D_kwargs=EasyDict(num_fp16_res=4),
         augment_kwargs=EasyDict(xflip=1, rotate90=1, xint=1, scale=1, rotate=1,
                                 aniso=1, xfrac=1, brightness=1, contrast=1,
@@ -250,11 +250,13 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
 @click.option("--seed", type=int, default=None)
 @click.option("--resume", type=str, default=None)
 @click.option("--total-steps", type=int, default=None)
+@click.option("--remat", is_flag=True, default=False,
+              help="Rematerialize G/D forwards in backward (fits bigger micro-batches)")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, matmul_precision, use_wandb):
+         resume, total_steps, remat, matmul_precision, use_wandb):
     """Train a super-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -265,6 +267,7 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     c = build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset)
     if total_steps is not None:
         c.total_steps = total_steps
+    c.gan_kwargs.remat = remat
     c.matmul_precision = matmul_precision
 
     from long_video_gan_tpu.parallel.multihost import (
