@@ -122,6 +122,18 @@ def get_detector(spec: str) -> Callable:
             except Exception as e:  # unexpected export layout: black-box fallback
                 print(f"inception native conversion failed ({e}); torchscript fallback")
                 return TorchscriptDetector(path, dict(return_features=True))
+    if spec.startswith("c3d:") or spec == "c3d" or "c3d" in os.path.basename(spec):
+        path = spec.split(":", 1)[1] if spec.startswith("c3d:") else (
+            spec if os.path.isfile(spec)
+            else os.path.join(os.environ.get(DETECTOR_DIR_ENV, ""), "c3d.pt"))
+        if os.path.isfile(path):
+            try:
+                from .c3d import C3DDetector
+
+                return C3DDetector.from_torchscript(path)
+            except Exception as e:  # unexpected export layout: black-box fallback
+                print(f"c3d native conversion failed ({e}); torchscript fallback")
+                return TorchscriptDetector(path)
     if os.path.isfile(spec):
         return TorchscriptDetector(spec)
     base = os.environ.get(DETECTOR_DIR_ENV, "")

@@ -36,6 +36,10 @@ import numpy as np
 from .bias_act import bias_act as _bias_act_fn
 from .upfirdn2d import parse_padding, upfirdn2d as _upfirdn2d_fn
 
+# Tests set this True (with pallas_call monkeypatched to interpret mode) so
+# the fused kernel is exercised on the CPU suite.
+FORCE_FUSED_ON_CPU = False
+
 
 def filtered_lrelu(
     x: jax.Array,
@@ -60,11 +64,16 @@ def filtered_lrelu(
     if impl == "fused":
         # Whole-image 4-matmul Pallas kernel with custom VJP — the production
         # TPU path (ops/pallas/filtered_lrelu_fused.py). Identity resamples
-        # (ToRGB: up == down == 1, trivial filters) stay on the composed path.
+        # (ToRGB: up == down == 1, trivial filters) stay on the composed path,
+        # as do non-TPU backends (Mosaic kernels only compile for TPU; the
+        # CPU test suite exercises the kernel in interpret mode explicitly).
+        import jax
+
         fu_w, fu_h = _filter_size(fu)
         fd_w, fd_h = _filter_size(fd)
         trivial = up == 1 and down == 1 and fu_w * fu_h == 1 and fd_w * fd_h == 1
-        if not (trivial or flip_filter):
+        kernel_ok = jax.default_backend() != "cpu" or FORCE_FUSED_ON_CPU
+        if not (trivial or flip_filter) and kernel_ok:
             from .pallas.filtered_lrelu_fused import filtered_lrelu_fused
 
             return filtered_lrelu_fused(x, fu, fd, b, up=up, down=down,

@@ -16,6 +16,12 @@ from long_video_gan_tpu.ops.filters import design_kaiser_lowpass
 def interpret_pallas(monkeypatch):
     from jax.experimental import pallas as pl
 
+    import importlib
+
+    # ops/__init__ re-exports the function under the module's name, so plain
+    # attribute-style imports resolve to the function; fetch the module.
+    flr_mod = importlib.import_module("long_video_gan_tpu.ops.filtered_lrelu")
+
     orig = pl.pallas_call
 
     def patched(*args, **kwargs):
@@ -23,6 +29,7 @@ def interpret_pallas(monkeypatch):
         return orig(*args, **kwargs)
 
     monkeypatch.setattr(pl, "pallas_call", patched)
+    monkeypatch.setattr(flr_mod, "FORCE_FUSED_ON_CPU", True)
 
 
 CASES = [
