@@ -27,11 +27,13 @@ import click
 @click.option("--batch", "batch_size", type=int, default=16)
 @click.option("--detector", type=str, default=None,
               help="Detector override: a torchscript path or stub:<dim> (tests)")
+@click.option("--max-items", type=int, default=None,
+              help="Cap real/generated feature counts (validation/smoke runs)")
 @click.option("--output", type=str, default=None, help="JSONL output path")
 @click.option("--seed", type=int, default=0)
 @click.option("--verbose", is_flag=True, default=False)
 def main(metrics, sres_path, lres_path, dataset_dir, num_runs, batch_size, detector,
-         output, seed, verbose):
+         max_items, output, seed, verbose):
     import jax
 
     if os.environ.get("LVG_PLATFORM"):
@@ -44,7 +46,7 @@ def main(metrics, sres_path, lres_path, dataset_dir, num_runs, batch_size, detec
     lres_G, lres_vars, _ = load_generator(lres_path)
 
     kwargs = dict(num_runs=num_runs, batch_size=batch_size, seed=seed, verbose=verbose,
-                  detector=detector)
+                  detector=detector, max_items_override=max_items)
     if sres_path is not None:
         sres_G, sres_vars, _ = load_generator(sres_path)
         kwargs.update(
