@@ -47,7 +47,7 @@ def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
     if sres_path is not None:
         sres_path = resolve_path(sres_path)
     from long_video_gan_tpu.models.generator_sres import sample_video_segments
-    from long_video_gan_tpu.utils.video import save_image_grid, to_uint8, write_video_grid
+    from long_video_gan_tpu.utils.video import save_image_grid, write_video_grid
 
     out_path = Path(output)
     out_path.parent.mkdir(parents=True, exist_ok=True)
