@@ -31,7 +31,7 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--segment", type=int, default=16)
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--chain", type=int, default=4,
+    ap.add_argument("--chain", type=int, default=8,
                     help="segments synthesized per device call (amortizes the "
                          "~26 ms axon tunnel round-trip; production streaming "
                          "does not sync per segment)")
