@@ -18,9 +18,15 @@ import time
 
 import numpy as np
 
-# First real-TPU measurement of this implementation (round 1, v5e single chip).
-# Kept fixed so vs_baseline tracks speedups across rounds.
+# First real-TPU measurement of this implementation (round 1, v5e single chip,
+# ONE segment per device call). Kept fixed so vs_baseline tracks speedups
+# across rounds under the per-call protocol it was measured with.
 BASELINE_FPS = 92.86
+
+# XLA cost analysis of one 16-frame 144x256 segment forward (BASELINE.md:49).
+SEGMENT_TFLOP = 5.12
+# v5e bf16 peak (MXU), TFLOP/s.
+PEAK_TFLOPS = 197.0
 
 
 def main():
@@ -87,6 +93,13 @@ def main():
 
         return jax.lax.fori_loop(0, chain, body, jnp.float32(0))
 
+    @jax.jit
+    def synth_one(variables, lr_video, z):
+        # Per-segment protocol: ONE synthesis per device call + scalar
+        # readback — the round-1 baseline's methodology, reported alongside
+        # the chained number so cross-round comparisons are like-for-like.
+        return jnp.sum(G.apply(variables, lr_video, z=z))
+
     lr_video = jax.device_put(jnp.asarray(
         rng.standard_normal(lr_shape).astype(np.float32) * 0.2))
     z = jax.device_put(jnp.asarray(rng.standard_normal((batch, G.latent_z_dim)).astype(np.float32)))
@@ -94,6 +107,7 @@ def main():
     # Warmup (compile + 2 steady-state runs).
     for _ in range(3):
         float(synth(variables, lr_video, z))
+        float(synth_one(variables, lr_video, z))
 
     iters = args.iters
     start = time.perf_counter()
@@ -101,13 +115,26 @@ def main():
         float(synth(variables, lr_video, z))   # forced host readback per call
     elapsed = time.perf_counter() - start
 
+    start1 = time.perf_counter()
+    for _ in range(iters):
+        float(synth_one(variables, lr_video, z))
+    elapsed1 = time.perf_counter() - start1
+
     frames = batch * segment * iters * chain
     fps = frames / elapsed
+    fps_per_segment = batch * segment * iters / elapsed1
+    # MFU from the chained run (free of the ~26 ms axon tunnel round-trip that
+    # production streaming never pays per segment).
+    mfu = fps / segment * SEGMENT_TFLOP / PEAK_TFLOPS
     print(json.dumps({
         "metric": "sres_synthesis_frames_per_sec_per_chip_256x144",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / BASELINE_FPS, 3),
+        "chain": chain,
+        "per_segment_value": round(fps_per_segment, 2),
+        "per_segment_vs_baseline": round(fps_per_segment / BASELINE_FPS, 3),
+        "mfu": round(mfu, 3),
     }))
 
 

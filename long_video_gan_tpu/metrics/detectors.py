@@ -85,64 +85,86 @@ class TorchscriptDetector:
         return out.numpy()
 
 
+# Exact basenames of the reference's published detector files, mapped to the
+# native conversion family. Substring matching is deliberately NOT used: a
+# user file named e.g. "c3d_from_i3d_rig.pt" must never be converted as I3D.
+_KNOWN_BASENAMES = {
+    "i3d.pt": "i3d",
+    "i3d_torchscript.pt": "i3d",
+    "inception.pkl": "inception",
+    "inception.pt": "inception",
+    "inception-2015-12-05.pkl": "inception",
+    "c3d.pt": "c3d",
+    "c3d_ucf.pt": "c3d",
+}
+
+_DEFAULT_FILENAMES = {"i3d": "i3d.pt", "inception": "inception.pkl", "c3d": "c3d.pt"}
+
+
+def _native_or_fallback(family: str, path: str) -> Callable:
+    """Convert `path` with the named native family; black-box torchscript on
+    conversion failure. Logs which strategy was used (ADVICE r2)."""
+    fallback_kwargs = {
+        "i3d": dict(rescale=True, resize=True, return_features=True),
+        "inception": dict(return_features=True),
+        "c3d": {},
+    }[family]
+    try:
+        if family == "i3d":
+            from .i3d import I3DDetector as cls
+        elif family == "inception":
+            from .inception_v3 import InceptionDetector as cls
+        else:
+            from .c3d import C3DDetector as cls
+        det = cls.from_torchscript(path)
+        print(f"detector {path}: native on-device {family} (converted weights)")
+        return det
+    except Exception as e:  # unexpected export layout: black-box fallback
+        print(f"detector {path}: {family} native conversion failed ({e}); "
+              f"host-CPU torchscript fallback")
+        return TorchscriptDetector(path, fallback_kwargs)
+
+
 @functools.lru_cache(maxsize=8)
 def get_detector(spec: str) -> Callable:
     """Resolve a detector spec:
-    * "stub:<dim>"           -> StubDetector (tests)
-    * a filesystem path      -> torchscript module
-    * a known name (i3d/c3d/inception) -> $LVG_DETECTOR_DIR/<name>.pt
+    * "stub:<dim>"                       -> StubDetector (tests)
+    * "<family>:<path>" (i3d/inception/c3d) -> native conversion of that file
+    * bare family name ("i3d", ...)      -> $LVG_DETECTOR_DIR/<default file>
+    * a filesystem path whose basename EXACTLY matches a published detector
+      file name                          -> native conversion
+    * any other filesystem path          -> black-box torchscript (no guessing)
     """
     if spec.startswith("stub:"):
         return StubDetector(dim=int(spec.split(":", 1)[1]))
-    if spec.startswith("i3d:") or spec == "i3d" or "i3d" in os.path.basename(spec):
-        # Prefer the native on-device I3D (metrics/i3d.py): convert the
-        # torchscript weights once, then extract features on TPU.
-        path = spec.split(":", 1)[1] if spec.startswith("i3d:") else (
-            spec if os.path.isfile(spec)
-            else os.path.join(os.environ.get(DETECTOR_DIR_ENV, ""), "i3d.pt"))
-        if os.path.isfile(path):
-            try:
-                from .i3d import I3DDetector
 
-                return I3DDetector.from_torchscript(path)
-            except Exception as e:  # unexpected export layout: black-box fallback
-                print(f"i3d native conversion failed ({e}); torchscript fallback")
-                return TorchscriptDetector(
-                    path, dict(rescale=True, resize=True, return_features=True))
-    if spec.startswith("inception:") or spec == "inception" \
-            or "inception" in os.path.basename(spec):
-        path = spec.split(":", 1)[1] if spec.startswith("inception:") else (
-            spec if os.path.isfile(spec)
-            else os.path.join(os.environ.get(DETECTOR_DIR_ENV, ""), "inception.pkl"))
-        if os.path.isfile(path):
-            try:
-                from .inception_v3 import InceptionDetector
+    # Explicit family prefix: the user asserts the file's architecture.
+    for family in ("i3d", "inception", "c3d"):
+        if spec.startswith(family + ":"):
+            path = spec.split(":", 1)[1]
+            if not os.path.isfile(path):
+                raise FileNotFoundError(f"detector file {path!r} not found")
+            return _native_or_fallback(family, path)
 
-                return InceptionDetector.from_torchscript(path)
-            except Exception as e:  # unexpected export layout: black-box fallback
-                print(f"inception native conversion failed ({e}); torchscript fallback")
-                return TorchscriptDetector(path, dict(return_features=True))
-    if spec.startswith("c3d:") or spec == "c3d" or "c3d" in os.path.basename(spec):
-        path = spec.split(":", 1)[1] if spec.startswith("c3d:") else (
-            spec if os.path.isfile(spec)
-            else os.path.join(os.environ.get(DETECTOR_DIR_ENV, ""), "c3d.pt"))
+    # Bare family name: resolve in $LVG_DETECTOR_DIR.
+    if spec in _DEFAULT_FILENAMES:
+        path = os.path.join(os.environ.get(DETECTOR_DIR_ENV, ""),
+                            _DEFAULT_FILENAMES[spec])
         if os.path.isfile(path):
-            try:
-                from .c3d import C3DDetector
+            return _native_or_fallback(spec, path)
+        raise FileNotFoundError(
+            f"detector {spec!r} not found at {path}; download it from "
+            f"{DETECTOR_URLS.get(spec, '<url>')} and set ${DETECTOR_DIR_ENV} "
+            f"or pass an explicit '{spec}:<path>'")
 
-                return C3DDetector.from_torchscript(path)
-            except Exception as e:  # unexpected export layout: black-box fallback
-                print(f"c3d native conversion failed ({e}); torchscript fallback")
-                return TorchscriptDetector(path)
+    # Filesystem path: native only on an exact published-basename match.
     if os.path.isfile(spec):
+        family = _KNOWN_BASENAMES.get(os.path.basename(spec))
+        if family is not None:
+            return _native_or_fallback(family, spec)
+        print(f"detector {spec}: unrecognized file name; host-CPU torchscript "
+              f"(prefix with i3d:/inception:/c3d: to convert natively)")
         return TorchscriptDetector(spec)
-    base = os.environ.get(DETECTOR_DIR_ENV, "")
-    candidate = os.path.join(base, f"{spec}.pt")
-    if base and os.path.isfile(candidate):
-        kwargs = {}
-        if spec == "i3d":
-            kwargs = dict(rescale=True, resize=True, return_features=True)
-        return TorchscriptDetector(candidate, kwargs)
     raise FileNotFoundError(
         f"detector {spec!r} not found; download it from {DETECTOR_URLS.get(spec, '<url>')} "
         f"and set ${DETECTOR_DIR_ENV} or pass an explicit path")

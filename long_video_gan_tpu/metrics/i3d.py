@@ -257,16 +257,23 @@ def _jitted_features(resize: bool, rescale: bool):
         if resize:
             n, c, t, h, w = x.shape
             x = jax.image.resize(x, (n, c, t, 224, 224), method="bilinear")
-        feats, _ = model.apply(variables, x)
-        return feats
+        _, logits = model.apply(variables, x)
+        return logits
 
     return run
 
 
 class I3DDetector:
-    """Detector-contract wrapper: uint8 video [N, C, T, H, W] -> [N, 1024]
-    features, computed on-device. Same call options as the reference
-    torchscript (rescale / resize / return_features)."""
+    """Detector-contract wrapper: uint8 video [N, C, T, H, W] -> [N, 400]
+    time-averaged pre-softmax logits, computed on-device. Same call options
+    as the reference torchscript (rescale / resize / return_features).
+
+    Feature space: the stylegan-v i3d_torchscript (the file the reference
+    downloads, metrics/frechet_video_distance.py:29-36) returns the 400-d
+    "raw features before the softmax layer" when return_features=True — the
+    space the original google-research FVD and all published numbers use —
+    NOT the 1024-d pre-logits pool. Matching it keeps native-path FVD values
+    commensurable with the TorchscriptDetector fallback and the literature."""
 
     def __init__(self, variables):
         self.variables = variables
@@ -280,6 +287,6 @@ class I3DDetector:
 
     def __call__(self, batch: np.ndarray, rescale: bool = True, resize: bool = True,
                  return_features: bool = True, **_) -> np.ndarray:
-        assert return_features, "logits head unused by FVD"
+        assert return_features, "only the 400-d feature contract is supported"
         run = _jitted_features(bool(resize), bool(rescale))
         return np.asarray(run(self.variables, jnp.asarray(batch)))

@@ -352,6 +352,14 @@ class VideoGenerator(nn.Module):
     channel_max: int = 512            # 512 == reference-exact; lower for tests
     embedding_kwargs: dict = None
     mapping_kwargs: dict = None
+    # Rematerialize each residual block in the backward pass (jax.checkpoint
+    # per block): peak HBM drops from sum-of-all-block-residuals to
+    # one-block's-residuals + per-block inputs, letting training run larger
+    # micro-batches. The reference gets the same effect implicitly from eager
+    # per-op reuse; a whole-loss checkpoint was measured ineffective on v5e
+    # (train/gan_lres.py:78-81). Numerics are identical; only recompute cost
+    # (~1 extra forward) is added.
+    block_remat: bool = False
 
     # ---- static architecture derivation (host-side, config-only) ----
 
@@ -390,13 +398,19 @@ class VideoGenerator(nn.Module):
         for i in range(min(self.num_fp16_layers, num_layers)):
             use_half[num_layers - 1 - i] = True
 
+        # nn.remat is variable-transparent: the wrapped class produces the
+        # exact same param/ema tree, so checkpoints are interchangeable with
+        # block_remat off. static_argnums counts `self` as 0: (beta,
+        # out_seq_length, dtype) are python scalars/types.
+        block_cls = (nn.remat(Synthesis3dResBlock, static_argnums=(3, 4, 5))
+                     if self.block_remat else Synthesis3dResBlock)
         self.temporal_layers = [
-            Synthesis3dResBlock(self.latent_w_dim, use_half=use_half[i], name=f"temporal_layers_{i}", **cfg)
+            block_cls(self.latent_w_dim, use_half=use_half[i], name=f"temporal_layers_{i}", **cfg)
             for i, cfg in enumerate(temporal_cfg)
         ]
         self.spatial_layers = [
-            Synthesis3dResBlock(self.latent_w_dim, use_half=use_half[len(temporal_cfg) + i],
-                                name=f"spatial_layers_{i}", **cfg)
+            block_cls(self.latent_w_dim, use_half=use_half[len(temporal_cfg) + i],
+                      name=f"spatial_layers_{i}", **cfg)
             for i, cfg in enumerate(spatial_cfg)
         ]
         last_out = spatial_cfg[-1].get("out_channels") or spatial_cfg[-1]["in_channels"]
@@ -490,13 +504,15 @@ class VideoGenerator(nn.Module):
         x = (temporal_input[:, :, :, None, None] + self.spatial_input) * math.sqrt(0.5)
         feats = []
         w_index = 0
+        # All-positional calls: under block_remat the static args must be
+        # positional for jax.checkpoint's static_argnums.
         for layer, layer_len in zip(self.temporal_layers, seq_lengths):
-            x = layer(x, latent_ws[w_index], magnitude_ema_beta, layer_len, dtype=dtype)
+            x = layer(x, latent_ws[w_index], magnitude_ema_beta, layer_len, dtype)
             if return_features:
                 feats.append(x)
             w_index += 1
         for layer in self.spatial_layers:
-            x = layer(x, latent_ws[w_index], magnitude_ema_beta, dtype=dtype)
+            x = layer(x, latent_ws[w_index], magnitude_ema_beta, None, dtype)
             if return_features:
                 feats.append(x)
             w_index += 1

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.filtered_lrelu import filtered_lrelu
+from ..ops.filtered_lrelu import auto_impl_policy, filtered_lrelu
 from ..ops.filters import design_lowpass_filter, kaiser_resample_filter
 from ..ops.upfirdn2d import downsample2d, upsample2d
 from ..utils.misc import assert_shape
@@ -262,14 +262,10 @@ class SynthesisLayer(nn.Module):
         slope = 1.0 if self.is_torgb else 0.2
         impl = self.resample_impl
         if impl == "auto":
-            # Measured policy (scripts/bench_layers.py, v5e, production plan):
-            # the banded fused Pallas kernel wins on the up4 layers and the
-            # large low-channel-count maps (164x276); XLA's batched
-            # banded-matrix einsums win on small maps where per-image kernel
-            # dispatch dominates and on the 92x148 up2 layers.
-            pixels = int(self.in_size[0]) * int(self.in_size[1])
-            impl = "fused" if ((self.up_factor >= 4 and pixels >= 56 * 84)
-                               or pixels >= 164 * 276) else "matrix"
+            # Hardware-keyed measured policy (ops/filtered_lrelu.auto_impl_policy):
+            # fused vs matrix per layer on known chips, matrix on unknown ones.
+            impl = auto_impl_policy(self.up_factor,
+                                    int(self.in_size[0]) * int(self.in_size[1]))
         x = filtered_lrelu(x, fu=self.up_filter, fd=self.down_filter,
                            b=self.bias.astype(x.dtype), up=self.up_factor,
                            down=self.down_factor, padding=self.padding, gain=gain,
@@ -331,6 +327,12 @@ class SynthesisNetwork(nn.Module):
     num_fp16_res: int = 4
     conv_clamp: Optional[float] = 256.0
     resample_impl: str = "conv"
+    # Rematerialize each synthesis layer in the backward pass (jax.checkpoint
+    # per layer): peak HBM holds one layer's supersampled buffers instead of
+    # all 15, trading one recompute forward for the micro-batch headroom the
+    # reference gets from eager per-op memory reuse. Variable-transparent:
+    # same param tree either way.
+    block_remat: bool = False
 
     @property
     def num_ws(self) -> int:
@@ -358,6 +360,10 @@ class SynthesisNetwork(nn.Module):
                 size=(int(sizes_x[0]), int(sizes_y[0])),
                 sampling_rate=float(rates[0]), bandwidth=float(cutoffs[0]))
 
+        # static_argnums counts `self` as 0: (force_fp32, update_emas) are
+        # python bools.
+        layer_cls = (nn.remat(SynthesisLayer, static_argnums=(3, 4))
+                     if self.block_remat else SynthesisLayer)
         layers = []
         names = []
         for idx in range(self.num_layers + 1):
@@ -368,7 +374,7 @@ class SynthesisNetwork(nn.Module):
             in_channels = self.cond_channels
             if idx > 0 or self.fourfeats:
                 in_channels += int(channels[prev])
-            layer = SynthesisLayer(
+            layer = layer_cls(
                 w_dim=self.w_dim, is_torgb=is_torgb, is_critically_sampled=is_critical,
                 use_fp16=bool(use_fp16), in_channels=in_channels,
                 out_channels=int(channels[idx]),
@@ -385,13 +391,16 @@ class SynthesisNetwork(nn.Module):
         self.layers = layers
         self.layer_names = names
 
-    def __call__(self, ws: jax.Array, conds: list[jax.Array], **layer_kwargs) -> jax.Array:
+    def __call__(self, ws: jax.Array, conds: list[jax.Array],
+                 force_fp32: bool = False, update_emas: bool = False) -> jax.Array:
         assert_shape(ws, (None, self.num_ws, self.w_dim))
         x = self.input(ws.shape[0]) if self.fourfeats else None
         for i, layer in enumerate(self.layers):
             cond = conds[i]
             x = cond if x is None else jnp.concatenate([x, cond.astype(x.dtype)], axis=1)
-            x = layer(x, ws[:, i].astype(jnp.float32), **layer_kwargs)
+            # Positional: under block_remat the trailing bools are
+            # jax.checkpoint static_argnums.
+            x = layer(x, ws[:, i].astype(jnp.float32), force_fp32, update_emas)
         if self.output_scale != 1:
             x = x * self.output_scale
         assert_shape(x, (None, self.img_channels, self.img_height, self.img_width))
@@ -460,6 +469,7 @@ class Generator(nn.Module):
     channel_max: int = 512
     num_layers: int = 14
     resample_impl: str = "conv"
+    block_remat: bool = False
 
     @property
     def cond_channels(self) -> int:
@@ -472,7 +482,7 @@ class Generator(nn.Module):
             margin_size=self.margin_size, fourfeats=self.fourfeats,
             num_fp16_res=self.num_fp16_res, channel_base=self.channel_base,
             channel_max=self.channel_max, num_layers=self.num_layers,
-            resample_impl=self.resample_impl)
+            resample_impl=self.resample_impl, block_remat=self.block_remat)
         self.mapping = MappingNetwork(z_dim=self.z_dim, w_dim=self.w_dim,
                                       num_ws=self.synthesis.num_ws)
 
@@ -574,6 +584,7 @@ class VideoGenerator(nn.Module):
     channel_max: int = 512
     num_layers: int = 14
     resample_impl: str = "conv"
+    block_remat: bool = False
 
     def setup(self):
         self.SG3 = Generator(
@@ -583,7 +594,8 @@ class VideoGenerator(nn.Module):
             cond_context=self.temporal_context, margin_size=self.margin_size,
             fourfeats=self.fourfeats, num_fp16_res=self.num_fp16_res,
             channel_base=self.channel_base, channel_max=self.channel_max,
-            num_layers=self.num_layers, resample_impl=self.resample_impl)
+            num_layers=self.num_layers, resample_impl=self.resample_impl,
+            block_remat=self.block_remat)
 
     def __call__(self, lr_video: jax.Array, z: Optional[jax.Array] = None,
                  magnitude_ema_beta: float = 1.0, **kwargs) -> jax.Array:

@@ -159,7 +159,7 @@ def _ceil(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _pick_block_images(h, wp, hup, wup, wop, itemsize, budget_bytes=8 << 20):
+def _pick_block_images(h, wp, hup, wup, wop, itemsize, *, budget_bytes=8 << 20):
     """Images per grid step, bounded by VMEM (padded-layout accounting)."""
     per_image = (h * wp + 160 * wop) * itemsize * 2       # in/out double-buffered
     per_image += hup * wp * 2                             # t1 scratch (bf16/f32)
@@ -277,7 +277,10 @@ def _fused_bwd(x, dy, *, up, down, padding, gain, slope, clamp, fu_taps, fd_taps
     bd_j = jnp.asarray(bd, mat_dtype)        # [Wo, Wu]
     out_dtype = x.dtype
 
-    k = max(1, _pick_block_images(h, w, hu, wu, ho, wo, x.dtype.itemsize) // 2)
+    # Same padded-layout VMEM accounting as the forward (the bwd kernel holds
+    # roughly 2x the scratch per image, hence the //2).
+    k = max(1, _pick_block_images(h, _ceil(w, 128), _ceil(hu, 16), _ceil(wu, 128),
+                                  _ceil(wo, 128), x.dtype.itemsize) // 2)
     bp = (b + k - 1) // k * k
     if bp != b:
         x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
@@ -333,13 +336,40 @@ def _fused_op(x, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
 
 
 def _fused_op_fwd(x, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
+    # First-order grads never differentiate this rule (the custom_vjp
+    # intercepts); only a second differentiation linearizes it as plain code —
+    # the guard below turns that into a clear error (see _first_order_only).
+    x = _first_order_only(x)
     y = _fused_fwd(x, up=up, down=down, padding=padding, gain=gain,
                    slope=slope, clamp=clamp, fu_taps=fu_taps, fd_taps=fd_taps)
     return y, x
 
 
+@jax.custom_jvp
+def _first_order_only(x):
+    """Identity whose JVP rule raises: makes the fused kernel's
+    first-order-only constraint structural instead of an accident of which
+    losses currently differentiate through G (only R1-on-D does 2nd-order
+    today). Applied to the VJP's *inputs* so any attempt to linearize the
+    backward (the first step of a second differentiation, forward- or
+    reverse-mode) fails with this message BEFORE reaching the Pallas call,
+    whose own missing rules produce an undiagnosable lowering error."""
+    return x
+
+
+@_first_order_only.defjvp
+def _first_order_only_jvp(primals, tangents):
+    raise NotImplementedError(
+        "filtered_lrelu_fused is first-order only: its VJP is a Pallas kernel "
+        "with no differentiation rule of its own. For second-order use (e.g. "
+        "an R1 penalty on G), select resample_impl='matrix' — the composed "
+        "path differentiates to any order.")
+
+
 def _fused_op_bwd(up, down, padding, gain, slope, clamp, fu_taps, fd_taps,
                   x, dy):
+    x = _first_order_only(x)
+    dy = _first_order_only(dy)
     dx = _fused_bwd(x, dy, up=up, down=down, padding=padding, gain=gain,
                     slope=slope, clamp=clamp, fu_taps=fu_taps, fd_taps=fd_taps)
     return (dx,)

@@ -19,7 +19,21 @@ import jax  # noqa: E402
 # eagerly (before any test imports torch) — torch-first initialization of the
 # TPU plugin can wedge.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_tests")
+# Machine-keyed cache dir: /tmp is shared across machine generations on this
+# infra and XLA:CPU AOT entries compiled elsewhere fail feature checks at load
+# time (cpu_aot_loader SIGILL warnings + wasted load attempts).
+import hashlib as _hashlib
+
+_mach = "unknown"
+try:
+    with open("/proc/cpuinfo") as _f:
+        for _line in _f:
+            if _line.startswith("flags"):
+                _mach = _hashlib.blake2s(_line.encode(), digest_size=6).hexdigest()
+                break
+except OSError:
+    pass
+jax.config.update("jax_compilation_cache_dir", f"/tmp/jax_cache_tests_{_mach}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 
@@ -35,14 +49,14 @@ REFERENCE_DIR = "/root/reference"
 _ORACLE_MODULES = {
     "test_augment", "test_bias_act", "test_convert_cli", "test_filtered_lrelu",
     "test_parity_discriminators", "test_parity_lres", "test_parity_sres",
-    "test_upfirdn2d",
+    "test_upfirdn2d", "test_accept_reference",
 }
 _SLOW_MODULES = {
     "test_parity_lres", "test_parity_sres", "test_parity_discriminators",
     "test_convert_cli", "test_train_steps", "test_pallas_kernel",
     "test_generators", "test_temporal_sharding", "test_multihost",
     "test_pallas_fused", "test_i3d", "test_inception_v3", "test_metrics",
-    "test_c3d",
+    "test_c3d", "test_accept_reference",
 }
 
 collect_ignore = ["multihost_worker.py"]

@@ -158,7 +158,10 @@ def test_i3d_detector_roundtrip_via_torchscript(tmp_path, torch_i3d, rng):
     det = I3DDetector.from_torchscript(path)
     video_u8 = (rng.random((1, 3, 16, 64, 64)) * 255).astype(np.uint8)
     feats = det(video_u8, rescale=True, resize=True, return_features=True)
-    assert feats.shape == (1, 1024)
+    # FVD feature contract: 400-d time-averaged pre-softmax logits (the
+    # stylegan-v torchscript's return_features=True output), not the 1024-d
+    # pre-logits pool.
+    assert feats.shape == (1, 400)
     assert np.isfinite(feats).all()
 
     # Cross-check against the torch module run with the same pre-processing.
@@ -168,7 +171,7 @@ def test_i3d_detector_roundtrip_via_torchscript(tmp_path, torch_i3d, rng):
                            align_corners=False)
     x = frames.reshape(1, 16, 3, 224, 224).permute(0, 2, 1, 3, 4)
     with torch.no_grad():
-        want, _ = torch_i3d(x)
+        _, want = torch_i3d(x)
     np.testing.assert_allclose(feats, want.numpy(), rtol=5e-3, atol=5e-3)
 
 
@@ -187,5 +190,5 @@ def test_get_detector_resolves_i3d_natively(tmp_path, torch_i3d, rng, monkeypatc
     det = detectors.get_detector("i3d")
     assert isinstance(det, I3DDetector)
     feats = det((rng.random((1, 3, 16, 64, 64)) * 255).astype(np.uint8))
-    assert feats.shape == (1, 1024) and np.isfinite(feats).all()
+    assert feats.shape == (1, 400) and np.isfinite(feats).all()
     detectors.get_detector.cache_clear()

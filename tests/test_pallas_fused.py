@@ -120,3 +120,24 @@ def test_fused_bf16_close(rng):
     scale = float(jnp.max(jnp.abs(want)))
     err = np.max(np.abs(np.asarray(got, np.float32) - np.asarray(want)))
     assert err <= 0.05 * scale, (err, scale)
+
+
+def test_fused_second_order_raises(rng):
+    """The fused kernel is structurally first-order-only: a second
+    differentiation through its VJP must raise a clear NotImplementedError
+    (pointing at impl='matrix'), not silently mis-differentiate."""
+    fu = design_kaiser_lowpass(8, 1.0, 2.0, 8.0)
+    fd = design_kaiser_lowpass(8, 1.0, 2.0, 8.0)
+    x = jnp.asarray(rng.standard_normal((1, 2, 12, 16)).astype(np.float32))
+
+    def inner(xx):
+        y = filtered_lrelu(xx, fu, fd, None, up=2, down=2, padding=8,
+                           clamp=256.0, impl="fused")
+        return jnp.sum(jnp.square(y))
+
+    def outer(xx):
+        g = jax.grad(inner)(xx)
+        return jnp.sum(jnp.square(g))  # R1-style double backward
+
+    with pytest.raises(NotImplementedError, match="first-order"):
+        jax.grad(outer)(x)
