@@ -265,7 +265,8 @@ class SynthesisLayer(nn.Module):
             # Hardware-keyed measured policy (ops/filtered_lrelu.auto_impl_policy):
             # fused vs matrix per layer on known chips, matrix on unknown ones.
             impl = auto_impl_policy(self.up_factor,
-                                    int(self.in_size[0]) * int(self.in_size[1]))
+                                    int(self.in_size[0]) * int(self.in_size[1]),
+                                    use_fp16=self.use_fp16)
         x = filtered_lrelu(x, fu=self.up_filter, fd=self.down_filter,
                            b=self.bias.astype(x.dtype), up=self.up_factor,
                            down=self.down_factor, padding=self.padding, gain=gain,

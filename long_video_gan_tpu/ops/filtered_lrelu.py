@@ -50,25 +50,27 @@ def _device_kind() -> str:
         return "unknown"
 
 
-def auto_impl_policy(up_factor: int, in_pixels: int) -> str:
+def auto_impl_policy(up_factor: int, in_pixels: int,
+                     use_fp16: bool = True) -> str:
     """Backend choice for `impl="auto"`, keyed on the DETECTED accelerator.
 
-    The thresholds are per-layer measurements (scripts/bench_layers.py) on the
-    hardware they were taken on — they encode where the whole-image fused
-    Pallas kernel beats XLA's banded-matrix einsums, which depends on the
-    MXU/VMEM balance of the chip generation. Unknown hardware (other TPU
-    generations, CPU, GPU) falls back to the composed `matrix` path, which is
-    always correct and never pathological, rather than silently applying
-    another chip's crossover points (VERDICT r2 weak #5).
+    Measured END-TO-END on the hardware the thresholds were taken on (isolated
+    per-op timings mislead here: in the full graph the fused kernel's
+    VMEM-resident intermediates overlap with neighbouring ops, so it wins
+    whole-model even on layers where it loses in isolation — bench.py r3:
+    fused 154.0 f/s vs mixed-by-per-op-table 145.2 vs matrix 119.9). Unknown
+    hardware (other TPU generations, CPU, GPU) falls back to the composed
+    `matrix` path, which is always correct and never pathological, rather
+    than silently applying another chip's crossover points.
     """
+    del up_factor, in_pixels  # per-shape crossovers refuted by end-to-end data
     kind = _device_kind()
     if "v5 lite" in kind or "v5e" in kind:
-        # Measured on TPU v5e (v5 lite), production 144x256 plan, 24-frame
-        # segments: fused wins the up4 layers and the large low-channel maps;
-        # matrix wins small maps (per-image grid dispatch dominates) and the
-        # 92x148 up2 layers (see BASELINE.md per-layer budget).
-        return "fused" if ((up_factor >= 4 and in_pixels >= 56 * 84)
-                           or in_pixels >= 164 * 276) else "matrix"
+        # v5e: the whole-image fused Pallas kernel for every bf16 layer; the
+        # composed einsum path only for the f32 head layers, where the
+        # kernel's f32 MXU matmuls measured ~5x slower per-op and the maps
+        # are tiny (see BASELINE.md round-3 per-layer budget).
+        return "fused" if use_fp16 else "matrix"
     return "matrix"
 
 

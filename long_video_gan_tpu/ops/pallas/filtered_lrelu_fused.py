@@ -159,14 +159,23 @@ def _ceil(v: int, m: int) -> int:
     return (v + m - 1) // m * m
 
 
-def _pick_block_images(h, wp, hup, wup, wop, itemsize, *, budget_bytes=8 << 20):
+def _vmem_budget_bytes() -> int:
+    """Scratch budget per grid step (env-tunable: LVG_FUSED_VMEM_MB)."""
+    import os
+
+    return int(float(os.environ.get("LVG_FUSED_VMEM_MB", "8")) * (1 << 20))
+
+
+def _pick_block_images(h, wp, hup, wup, wop, itemsize, *, budget_bytes=None):
     """Images per grid step, bounded by VMEM (padded-layout accounting)."""
+    if budget_bytes is None:
+        budget_bytes = _vmem_budget_bytes()
     per_image = (h * wp + 160 * wop) * itemsize * 2       # in/out double-buffered
     per_image += hup * wp * 2                             # t1 scratch (bf16/f32)
     per_image += hup * wup * 6 + hup * wop * 6            # u/t3 f32 + bf16 copies
     mats = (hup * h + wp * wup + wup * wop + hup * 2 * h) * itemsize
     k = max(1, int((budget_bytes - mats) // max(per_image, 1)))
-    return min(k, 8)
+    return min(k, 16)
 
 
 @functools.partial(

@@ -54,22 +54,36 @@ def main():
     R = 8  # on-device repeats per call: amortizes the ~26 ms axon round-trip
 
     def timeit(fn, *xs):
-        """Net per-op seconds via R on-device repeats + control subtraction."""
+        """Net per-op seconds via R on-device repeats + control subtraction.
+
+        SERIAL dependency: iteration i's input is scaled by a scalar derived
+        from iteration i-1's OUTPUT. The round-2 harness used x*(1+i*eps),
+        which XLA defeats for (partially) LINEAR ops by factoring the scalar
+        out and hoisting the op: op(x*s) == s*op(x) — the resample matmuls and
+        the modulated conv are linear in x, so their cost vanished from the
+        loop and the round-2 per-layer table under-measured them.
+        """
         x0 = xs[0]
 
         @jax.jit
         def run(*xs):
-            def body(i, s):
-                xi = xs[0] * (1.0 + i.astype(x0.dtype) * x0.dtype.type(1e-8))
-                return s + jnp.sum(fn(xi, *xs[1:]).astype(jnp.float32))
-            return jax.lax.fori_loop(0, R, body, jnp.float32(0))
+            def body(i, carry):
+                s, seed = carry
+                xi = xs[0] * (1.0 + seed * 1e-12).astype(x0.dtype)
+                out = jnp.sum(fn(xi, *xs[1:]).astype(jnp.float32))
+                return (s + out, out * 1e-20)
+            return jax.lax.fori_loop(0, R, body,
+                                     (jnp.float32(0), jnp.float32(0)))[0]
 
         @jax.jit
         def ctrl(*xs):
-            def body(i, s):
-                xi = xs[0] * (1.0 + i.astype(x0.dtype) * x0.dtype.type(1e-8))
-                return s + jnp.sum(xi.astype(jnp.float32))
-            return jax.lax.fori_loop(0, R, body, jnp.float32(0))
+            def body(i, carry):
+                s, seed = carry
+                xi = xs[0] * (1.0 + seed * 1e-12).astype(x0.dtype)
+                out = jnp.sum(xi[..., :1].astype(jnp.float32))
+                return (s + out, out * 1e-20)
+            return jax.lax.fori_loop(0, R, body,
+                                     (jnp.float32(0), jnp.float32(0)))[0]
 
         def med(f):
             float(f(*xs))
