@@ -24,7 +24,11 @@ import numpy as np
 BASELINE_FPS = 92.86
 
 # XLA cost analysis of one 16-frame 144x256 segment forward (BASELINE.md:49).
+# The hr stack processes only the output frames (context rides in channels),
+# so cost is ~linear in segment length: use TFLOP/frame for segment-agnostic
+# MFU (measured: segment 32 runs at the same frames/s as 16).
 SEGMENT_TFLOP = 5.12
+TFLOP_PER_FRAME = SEGMENT_TFLOP / 16
 # v5e bf16 peak (MXU), TFLOP/s.
 PEAK_TFLOPS = 197.0
 
@@ -125,7 +129,7 @@ def main():
     fps_per_segment = batch * segment * iters / elapsed1
     # MFU from the chained run (free of the ~26 ms axon tunnel round-trip that
     # production streaming never pays per segment).
-    mfu = fps / segment * SEGMENT_TFLOP / PEAK_TFLOPS
+    mfu = fps * TFLOP_PER_FRAME / PEAK_TFLOPS
     print(json.dumps({
         "metric": "sres_synthesis_frames_per_sec_per_chip_256x144",
         "value": round(fps, 2),

@@ -23,17 +23,19 @@ import json
 import time
 
 
-def _peak_hbm_gb() -> float:
+def _peak_hbm_gb():
+    """Peak HBM in GiB, or None when the backend hides memory stats (axon)."""
     import jax
 
     try:
         stats = jax.local_devices()[0].memory_stats()
-        return stats.get("peak_bytes_in_use", 0) / 2**30
+        return round(stats.get("peak_bytes_in_use", 0) / 2**30, 2)
     except Exception:
-        return float("nan")
+        return None
 
 
-def bench_lres(accum: int, steps: int, remat: bool = False) -> dict:
+def bench_lres(accum: int, steps: int, remat: bool = False,
+               block_remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -47,7 +49,8 @@ def bench_lres(accum: int, steps: int, remat: bool = False) -> dict:
         G_grad_accum=accum, D_grad_accum=accum,
         G_random_temp_translate=True, temp_scale_augment=1.0,
         r1_gamma=1.0, remat=remat,
-        G_kwargs=dict(num_fp16_layers=0, temporal_padding=8, temporal_emb_dim=1024),
+        G_kwargs=dict(num_fp16_layers=0, temporal_padding=8, temporal_emb_dim=1024,
+                      block_remat=block_remat),
         D_kwargs=dict(num_fp16_res=0),
     )
     state = gan.init_state(jax.random.key(0))
@@ -63,31 +66,41 @@ def bench_lres(accum: int, steps: int, remat: bool = False) -> dict:
         state = gan.update_G_ema(state)
         return state, g_stats, d_stats
 
-    # Warmup: compile all four phases.
-    state, *_ = cycle(state, jax.random.key(1), with_r1=True)
-    jax.block_until_ready(state.step)
+    # Warmup: compile all four phases AND run them twice with a forced scalar
+    # readback — on axon, block_until_ready returns early, and the first
+    # execution of each program pays a one-time device-side setup cost that
+    # must not leak into the timed region (measured r3: it inflated sec/step
+    # ~6x at steps=8).
+    for k in (1, 11):
+        state, *_ = cycle(state, jax.random.key(k), with_r1=True)
+        float(jax.device_get(state.step))
 
     r1_interval = 16
-    start = time.perf_counter()
+    per_step = []
     for i in range(steps):
+        start = time.perf_counter()
         state, g_stats, d_stats = cycle(state, jax.random.fold_in(jax.random.key(2), i),
                                         with_r1=(i % r1_interval == 0))
-    # Force completion (axon: scalar readback is the reliable sync).
-    float(jax.device_get(state.step))
+        # Force completion (axon: scalar readback is the reliable sync).
+        float(jax.device_get(state.step))
+        per_step.append(time.perf_counter() - start)
     float(np.sum(jax.device_get(g_stats["loss/G_loss"])))
-    elapsed = time.perf_counter() - start
 
     return {
         "metric": "lres_train_sec_per_step_batch64_seq128",
-        "value": round(elapsed / steps, 4),
+        "value": round(float(np.median(per_step)), 4),
         "unit": "sec/step",
+        "mean": round(float(np.mean(per_step)), 4),
+        "per_step": [round(t, 2) for t in per_step],
         "grad_accum": accum,
         "remat": remat,
-        "peak_hbm_gb": round(_peak_hbm_gb(), 2),
+        "block_remat": block_remat,
+        "peak_hbm_gb": _peak_hbm_gb(),
     }
 
 
-def bench_sres(accum: int, steps: int, remat: bool = False) -> dict:
+def bench_sres(accum: int, steps: int, remat: bool = False,
+               block_remat: bool = False) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -101,7 +114,8 @@ def bench_sres(accum: int, steps: int, remat: bool = False) -> dict:
         lr_height=36, lr_width=64, hr_height=144, hr_width=256,
         total_batch=total_batch, G_grad_accum=accum, D_grad_accum=accum,
         r1_gamma=1.0, remat=remat,
-        G_kwargs=dict(num_fp16_res=4, resample_impl="auto"),
+        G_kwargs=dict(num_fp16_res=4, resample_impl="auto",
+                      block_remat=block_remat),
         D_kwargs=dict(num_fp16_res=4),
     )
     state = gan.init_state(jax.random.key(0))
@@ -123,23 +137,29 @@ def bench_sres(accum: int, steps: int, remat: bool = False) -> dict:
         state = gan.update_G_ema(state)
         return state, g_stats
 
-    state, _ = cycle(state, jax.random.key(1), 0)
-    jax.block_until_ready(state.step)
+    # Two forced-sync warmup cycles (see bench_lres warmup comment).
+    for k in (1, 11):
+        state, _ = cycle(state, jax.random.key(k), 0)
+        float(jax.device_get(state.step))
 
-    start = time.perf_counter()
+    per_step = []
     for i in range(steps):
+        start = time.perf_counter()
         state, g_stats = cycle(state, jax.random.fold_in(jax.random.key(2), i), i)
-    float(jax.device_get(state.step))
+        float(jax.device_get(state.step))
+        per_step.append(time.perf_counter() - start)
     float(np.sum(jax.device_get(g_stats["loss/G_loss"])))
-    elapsed = time.perf_counter() - start
 
     return {
         "metric": "sres_train_sec_per_step_batch32_144x256",
-        "value": round(elapsed / steps, 4),
+        "value": round(float(np.median(per_step)), 4),
         "unit": "sec/step",
+        "mean": round(float(np.mean(per_step)), 4),
+        "per_step": [round(t, 2) for t in per_step],
         "grad_accum": accum,
         "remat": remat,
-        "peak_hbm_gb": round(_peak_hbm_gb(), 2),
+        "block_remat": block_remat,
+        "peak_hbm_gb": _peak_hbm_gb(),
     }
 
 
@@ -155,12 +175,16 @@ def main():
     ap.add_argument("--sres-accum", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--block-remat", action="store_true",
+                    help="per-block rematerialization inside the generators")
     args = ap.parse_args()
 
     if args.config in ("lres", "both"):
-        print(json.dumps(bench_lres(args.lres_accum, args.steps, args.remat)), flush=True)
+        print(json.dumps(bench_lres(args.lres_accum, args.steps, args.remat,
+                                    args.block_remat)), flush=True)
     if args.config in ("sres", "both"):
-        print(json.dumps(bench_sres(args.sres_accum, args.steps, args.remat)), flush=True)
+        print(json.dumps(bench_sres(args.sres_accum, args.steps, args.remat,
+                                    args.block_remat)), flush=True)
 
 
 if __name__ == "__main__":

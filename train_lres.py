@@ -231,11 +231,15 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
 @click.option("--total-steps", type=int, default=None)
 @click.option("--remat", is_flag=True, default=False,
               help="Rematerialize G/D forwards in backward (fits bigger micro-batches)")
+@click.option("--block-remat", is_flag=True, default=False,
+              help="Per-block rematerialization inside G. Recommended for lres: "
+                   "lifts micro-batch 2->4, 85.9 -> 34.1 sec/step on v5e "
+                   "(use with --grad-accum 16; see BASELINE.md)")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, remat, matmul_precision, use_wandb):
+         resume, total_steps, remat, block_remat, matmul_precision, use_wandb):
     """Train a low-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -247,6 +251,7 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     if total_steps is not None:
         c.total_steps = total_steps
     c.gan_kwargs.remat = remat
+    c.gan_kwargs.G_kwargs.block_remat = block_remat
     c.matmul_precision = matmul_precision
 
     from long_video_gan_tpu.parallel.multihost import (
