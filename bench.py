@@ -36,7 +36,7 @@ PEAK_TFLOPS = 197.0
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impl", default="auto",
-                    choices=["auto", "conv", "matrix", "fused", "pallas"],
+                    choices=["auto", "conv", "matrix", "fused", "packed", "pallas"],
                     help="resampling/filtered_lrelu backend")
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--segment", type=int, default=16)

@@ -31,26 +31,15 @@ def main(pkl_path, kind, output, reference_dir):
 
     jax.config.update("jax_platforms", "cpu")
 
-    # Shim pkg_resources (removed from modern setuptools) for the reference's
-    # conv2d_gradfix torch-version check executed by the embedded pickle source.
-    import types
-
-    if "pkg_resources" not in sys.modules:
-        try:
-            from packaging.version import parse as _parse_version
-        except Exception:  # pragma: no cover
-            def _parse_version(v):
-                return tuple(int(p) for p in v.split("+")[0].split(".") if p.isdigit())
-        shim = types.ModuleType("pkg_resources")
-        shim.parse_version = _parse_version
-        sys.modules["pkg_resources"] = shim
-
     sys.path.insert(0, reference_dir)
     from long_video_gan_tpu.io.checkpoint import save_generator
     from long_video_gan_tpu.io.convert_torch import (
+        install_reference_unpickle_shims,
         load_reference_pickle_state,
         torch_state_to_variables,
     )
+
+    install_reference_unpickle_shims()
 
     state_dict, init_kwargs = load_reference_pickle_state(pkl_path)
     print(f"Loaded {pkl_path}: {len(state_dict)} tensors, init_kwargs={init_kwargs}")

@@ -92,6 +92,25 @@ def torch_state_to_variables(state_dict: Mapping[str, Any], variables: Mapping[s
     return out
 
 
+def install_reference_unpickle_shims() -> None:
+    """Shim pkg_resources (removed from modern setuptools) so the reference's
+    conv2d_gradfix torch-version check — executed by the source embedded in
+    its persistence pickles — imports cleanly. Idempotent."""
+    import sys
+    import types
+
+    if "pkg_resources" in sys.modules:
+        return
+    try:
+        from packaging.version import parse as _parse_version
+    except Exception:  # pragma: no cover
+        def _parse_version(v):
+            return tuple(int(p) for p in v.split("+")[0].split(".") if p.isdigit())
+    shim = types.ModuleType("pkg_resources")
+    shim.parse_version = _parse_version
+    sys.modules["pkg_resources"] = shim
+
+
 def load_reference_pickle_state(path: str) -> tuple[dict, dict]:
     """Unpickle a reference G_ema pickle and return (state_dict, init_kwargs).
 
@@ -103,6 +122,7 @@ def load_reference_pickle_state(path: str) -> tuple[dict, dict]:
 
     import torch  # noqa: F401 — must be importable for tensor deserialization
 
+    install_reference_unpickle_shims()
     with open(path, "rb") as fp:
         module = pickle.load(fp)
     init_kwargs = dict(getattr(module, "init_kwargs", {}))

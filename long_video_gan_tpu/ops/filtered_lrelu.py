@@ -66,11 +66,13 @@ def auto_impl_policy(up_factor: int, in_pixels: int,
     del up_factor, in_pixels  # per-shape crossovers refuted by end-to-end data
     kind = _device_kind()
     if "v5 lite" in kind or "v5e" in kind:
-        # v5e: the whole-image fused Pallas kernel for every bf16 layer; the
-        # composed einsum path only for the f32 head layers, where the
-        # kernel's f32 MXU matmuls measured ~5x slower per-op and the maps
-        # are tiny (see BASELINE.md round-3 per-layer budget).
-        return "fused" if use_fp16 else "matrix"
+        # v5e: the lane-packed fused Pallas kernel for every bf16 layer
+        # (in-kernel packing, ~181 TF/s on its executed FLOPs at the hot
+        # layers — bench.py r3: packed 175 f/s vs fused-v3 158.9 vs matrix
+        # 119.9); the composed einsum path only for the f32 head layers,
+        # where the Pallas kernels' f32 MXU matmuls measured ~5x slower
+        # per-op and the maps are tiny (BASELINE.md round-3 budget).
+        return "packed" if use_fp16 else "matrix"
     return "matrix"
 
 
@@ -94,12 +96,15 @@ def filtered_lrelu(
 
         return filtered_lrelu_pallas(x, fu, fd, b, up=up, down=down, padding=padding,
                                      gain=gain, slope=slope, clamp=clamp)
-    if impl == "fused":
-        # Whole-image 4-matmul Pallas kernel with custom VJP — the production
-        # TPU path (ops/pallas/filtered_lrelu_fused.py). Identity resamples
-        # (ToRGB: up == down == 1, trivial filters) stay on the composed path,
-        # as do non-TPU backends (Mosaic kernels only compile for TPU; the
-        # CPU test suite exercises the kernel in interpret mode explicitly).
+    if impl in ("fused", "packed"):
+        # Whole-image 4-matmul Pallas kernels with custom VJP — the production
+        # TPU paths ("fused": one image per lane row, ops/pallas/
+        # filtered_lrelu_fused.py; "packed": k images packed along lanes with
+        # block-diagonal W operators, ops/pallas/filtered_lrelu_packed.py).
+        # Identity resamples (ToRGB: up == down == 1, trivial filters) stay on
+        # the composed path, as do non-TPU backends (Mosaic kernels only
+        # compile for TPU; the CPU test suite exercises the kernels in
+        # interpret mode explicitly).
         import jax
 
         fu_w, fu_h = _filter_size(fu)
@@ -107,6 +112,12 @@ def filtered_lrelu(
         trivial = up == 1 and down == 1 and fu_w * fu_h == 1 and fd_w * fd_h == 1
         kernel_ok = jax.default_backend() != "cpu" or FORCE_FUSED_ON_CPU
         if not (trivial or flip_filter) and kernel_ok:
+            if impl == "packed":
+                from .pallas.filtered_lrelu_packed import filtered_lrelu_packed
+
+                return filtered_lrelu_packed(x, fu, fd, b, up=up, down=down,
+                                             padding=padding, gain=gain,
+                                             slope=slope, clamp=clamp)
             from .pallas.filtered_lrelu_fused import filtered_lrelu_fused
 
             return filtered_lrelu_fused(x, fu, fd, b, up=up, down=down,

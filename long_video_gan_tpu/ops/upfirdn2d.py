@@ -85,7 +85,7 @@ def upfirdn2d(x, f, up=1, down=1, padding=0, flip_filter=False, gain=1.0, impl="
     outH = (H*upy + pady0 + pady1 - fh) // downy + 1 (likewise for W).
     """
     assert x.ndim == 4, f"expected NCHW input, got shape {x.shape}"
-    if impl in ("fused", "pallas", "auto"):
+    if impl in ("fused", "packed", "pallas", "auto"):
         # Those selectors exist only for the filtered_lrelu composite; a plain
         # upfirdn2d rides the MXU banded-matrix path.
         impl = "matrix"

@@ -44,6 +44,8 @@ from pathlib import Path
 import click
 
 REPO = Path(__file__).resolve().parent.parent
+if str(REPO) not in sys.path:  # run as `python scripts/accept_reference.py`
+    sys.path.insert(0, str(REPO))
 
 
 def _run(cmd, env=None):
@@ -107,7 +109,9 @@ def main(lres_pkl, sres_pkl, detector_dir, dataset_dir, reference_dir, workdir,
     import jax.numpy as jnp
 
     from long_video_gan_tpu.io.checkpoint import load_generator
+    from long_video_gan_tpu.io.convert_torch import install_reference_unpickle_shims
 
+    install_reference_unpickle_shims()
     with open(lres_pkl, "rb") as fp:
         torch_lres = pickle.load(fp)
     torch_lres.eval().requires_grad_(False)

@@ -30,16 +30,17 @@ def test_accept_reference_on_standins(tmp_path):
     torch.manual_seed(0)
     G_l = ref_lres.VideoGenerator()  # released lres config is the default
     G_l.eval().requires_grad_(False)
-    G_s = ref_sres.VideoGenerator(hr_height=36, hr_width=64, lr_height=9,
-                                  lr_width=16, temporal_context=2,
+    # lr must match the stand-in lres's default 36x64 output (the script pipes
+    # lres frames into SG3 exactly like generate.py); hr 72x128 keeps the CPU
+    # cost of the elementwise comparison small.
+    G_s = ref_sres.VideoGenerator(hr_height=72, hr_width=128, lr_height=36,
+                                  lr_width=64, temporal_context=2,
                                   latent_z_dim=32, latent_w_dim=32,
                                   margin_size=4, num_fp16_res=0)
     G_s.eval().requires_grad_(False)
-    # The stand-in sres needs its non-default config recorded the way the
-    # released pickles record it.
-    G_s.init_kwargs = dict(hr_height=36, hr_width=64, lr_height=9, lr_width=16,
-                           temporal_context=2, latent_z_dim=32, latent_w_dim=32,
-                           margin_size=4, num_fp16_res=0)
+    # The persistence decorator records the non-default sres config in
+    # G_s.init_kwargs automatically (reference torch_utils/persistence.py:110),
+    # exactly as the released pickles carry it.
 
     lres_pkl = tmp_path / "standin_lres.pkl"
     sres_pkl = tmp_path / "standin_sres.pkl"

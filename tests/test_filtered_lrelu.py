@@ -88,14 +88,15 @@ def test_auto_impl_policy_gated_on_hardware():
     assert auto_impl_policy(2, 164 * 276, use_fp16=False) == "matrix"
 
 
-def test_auto_impl_policy_v5e_fused_for_bf16(monkeypatch):
-    """On the measured chip (v5e) the policy is fused for bf16 layers and
-    the composed einsum path for the f32 head (BASELINE.md round-3 budget:
-    end-to-end fused 154.0 f/s vs per-op-table mix 145.2 vs matrix 119.9)."""
+def test_auto_impl_policy_v5e_packed_for_bf16(monkeypatch):
+    """On the measured chip (v5e) the policy is the lane-packed Pallas kernel
+    for bf16 layers and the composed einsum path for the f32 head (BASELINE.md
+    round-3 budget: end-to-end packed 173.2 f/s vs fused 158.9 vs matrix
+    119.9)."""
     import importlib
 
     fl = importlib.import_module("long_video_gan_tpu.ops.filtered_lrelu")
     monkeypatch.setattr(fl, "_device_kind", lambda: "TPU v5 lite")
-    assert fl.auto_impl_policy(2, 38 * 52, use_fp16=True) == "fused"
-    assert fl.auto_impl_policy(4, 164 * 276, use_fp16=True) == "fused"
+    assert fl.auto_impl_policy(2, 38 * 52, use_fp16=True) == "packed"
+    assert fl.auto_impl_policy(4, 164 * 276, use_fp16=True) == "packed"
     assert fl.auto_impl_policy(2, 29 * 36, use_fp16=False) == "matrix"
