@@ -62,8 +62,13 @@ from .filtered_lrelu_fused import (
 
 
 def _packed_vmem_budget_bytes() -> int:
-    """Per-grid-step VMEM budget (env-tunable: LVG_PACKED_VMEM_MB)."""
-    return int(float(os.environ.get("LVG_PACKED_VMEM_MB", "64")) * (1 << 20))
+    """Per-grid-step VMEM budget (env-tunable: LVG_PACKED_VMEM_MB).
+
+    Default from an end-to-end bench.py sweep on v5e (frames/s at chain 8):
+    16 MB 165.3, 24 MB 176.8, **32 MB 179.9**, 48 MB 171.8, 64 MB 173.7,
+    96 MB 173.9 — smaller grid blocks overlap better with neighbouring ops
+    until k/g collapse below MXU-feeding sizes."""
+    return int(float(os.environ.get("LVG_PACKED_VMEM_MB", "32")) * (1 << 20))
 
 
 def _block_diag(mat: np.ndarray, k: int) -> np.ndarray:
