@@ -36,6 +36,9 @@ CASES = [
     (2, 1, 14, 22, 6),
     (1, 2, 24, 32, 8),
     (2, 2, 12, 16, 10),
+    # production up4 geometry (SG3 layers 3/5/7/10 run up=4, down=2 on
+    # non-square maps; see BASELINE.md round-3 per-layer budget)
+    (4, 2, 10, 16, (7, 6, 7, 6)),
 ]
 
 
@@ -71,7 +74,7 @@ def test_packed_forward_matches_composed(up, down, h, w, pad, k, rng,
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
 
 
-@pytest.mark.parametrize("up,down,h,w,pad", CASES[2:])
+@pytest.mark.parametrize("up,down,h,w,pad", CASES[2:4])
 def test_packed_forward_auto_k(up, down, h, w, pad, rng):
     """Default (auto-picked) k, including a batch that k may not divide."""
     fu = design_kaiser_lowpass(12, 1.0, 2.0, 8.0)
@@ -83,6 +86,31 @@ def test_packed_forward_auto_k(up, down, h, w, pad, rng):
                          impl="packed")
     assert got.shape == want.shape
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_up4_forward_and_grad(rng):
+    """Production up4/down2 geometry, forward + VJP vs the composed op."""
+    up, down, h, w, pad = CASES[4]
+    fu = design_kaiser_lowpass(24, 1.0, 4.0, 16.0)  # up4 uses a longer filter
+    fd = design_kaiser_lowpass(12, 1.0, 2.0, 8.0)
+    x = jnp.asarray(rng.standard_normal((1, 3, h, w)).astype(np.float32))
+    want = filtered_lrelu(x, fu, fd, None, up=up, down=down, padding=pad, clamp=256.0)
+    got = filtered_lrelu(x, fu, fd, None, up=up, down=down, padding=pad, clamp=256.0,
+                         impl="packed")
+    assert got.shape == want.shape
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+    def loss(impl):
+        def f(xx):
+            y = filtered_lrelu(xx, fu, fd, None, up=up, down=down, padding=pad,
+                               clamp=256.0, impl=impl)
+            return jnp.sum(y * jnp.sin(jnp.arange(y.size).reshape(y.shape)))
+        return f
+
+    g_ref = jax.grad(loss("conv"))(x)
+    g_packed = jax.grad(loss("packed"))(x)
+    np.testing.assert_allclose(np.asarray(g_packed), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.parametrize("k", [1, 2])
