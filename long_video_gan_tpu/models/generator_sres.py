@@ -487,28 +487,51 @@ class Generator(nn.Module):
         self.mapping = MappingNetwork(z_dim=self.z_dim, w_dim=self.w_dim,
                                       num_ws=self.synthesis.num_ws)
 
-        # Per-layer conditioning resamplers (static).
+        # Per-layer conditioning resamplers (static). Layers sharing a
+        # sampling rate get the SAME resample (e.g. the 14-layer 144x256 plan
+        # has 15 layer slots but only 5 distinct scales), so the pyramid is
+        # computed once per distinct scale and shared — exactness-preserving
+        # dedup of what the reference evaluates per layer
+        # (reference: generator_sres.py:581-610).
         rates = self.synthesis.plan()["sampling_rates"]
         cond_edge = max(self.cond_width, self.cond_height)
-        resamples = []
+        keys = []
+        resample_by_key = {}
         for idx in range(self.synthesis.num_ws):
             # in_sampling_rate of layer idx == rates[max(idx-1, 0)]
             cond_scale = rates[max(idx - 1, 0)] / cond_edge
             if cond_scale < 1:
-                resamples.append(KaiserDownsample2d(scale=math.ceil(1 / cond_scale),
-                                                    impl=self.resample_impl))
+                key = ("down", math.ceil(1 / cond_scale))
             elif cond_scale > 1:
-                resamples.append(KaiserUpsample2d(scale=math.ceil(cond_scale),
-                                                  impl=self.resample_impl))
+                key = ("up", math.ceil(cond_scale))
             else:
-                resamples.append(lambda x: x)
-        self._resamples = resamples
+                key = ("id", 1)
+            if key not in resample_by_key:
+                if key[0] == "down":
+                    resample_by_key[key] = KaiserDownsample2d(scale=key[1],
+                                                              impl=self.resample_impl)
+                elif key[0] == "up":
+                    resample_by_key[key] = KaiserUpsample2d(scale=key[1],
+                                                            impl=self.resample_impl)
+                else:
+                    resample_by_key[key] = lambda x: x
+            keys.append(key)
+        self._resample_keys = keys
+        self._resample_by_key = resample_by_key
 
     def prep_cond(self, cond: jax.Array) -> list[jax.Array]:
         """Build per-layer conditioning maps: pad lr video to square + margin,
-        unfold the +/-context temporal window into channels, Kaiser-resample
-        once per layer to that layer's input grid and center-crop/pad
-        (reference: generator_sres.py:581-610)."""
+        Kaiser-resample the raw frames once per DISTINCT layer scale,
+        center-crop/pad per layer geometry, then unfold the +/-context
+        temporal window into channels (reference: generator_sres.py:581-610).
+
+        The reference unfolds first and resamples per layer; because the
+        spatial resampling is per-channel-plane linear filtering, it commutes
+        with both the temporal unfold (which only duplicates frames into
+        channels, ~(1+2*context)x) and the crop, so resampling the t raw
+        frames once per distinct scale computes identical values with ~18x
+        fewer resampling FLOPs on the production plan (5 distinct scales for
+        15 layer slots, 3 channels vs 27, t vs t_out windows)."""
         assert_shape(cond, (None, self.img_channels, None, self.cond_height, self.cond_width))
         n, c, t, h, w = cond.shape
         edge = max(self.cond_width, self.cond_height)
@@ -518,23 +541,32 @@ class Generator(nn.Module):
         py1 = (edge - h + 1) // 2 + self.margin_size
         cond = jnp.pad(cond, [(0, 0), (0, 0), (0, 0), (py0, py1), (px0, px1)], mode="edge")
 
-        # Temporal unfold: windows of 1 + 2*context, stride 1, folded into channels.
+        # Per-frame stack for resampling: [n*t, c, H, W].
+        frames = cond.transpose(0, 2, 1, 3, 4).reshape(n * t, c, cond.shape[3], cond.shape[4])
+
+        # One resample per distinct scale.
+        levels = {key: resample(frames)
+                  for key, resample in self._resample_by_key.items()}
+
+        # Temporal unfold indices: windows of 1 + 2*context, stride 1.
         s = 1 + 2 * self.cond_context
         t_out = t - s + 1
         idx = np.arange(t_out)[:, None] + np.arange(s)[None, :]          # [t_out, s]
-        windows = cond[:, :, idx]                                        # [n, c, t_out, s, H, W]
-        windows = windows.transpose(0, 2, 1, 3, 4, 5)                    # [n, t_out, c, s, H, W]
-        cond2d = windows.reshape(n * t_out, c * s, windows.shape[4], windows.shape[5])
 
         plan = self.synthesis.plan()
         sizes_x, sizes_y = plan["sizes_x"], plan["sizes_y"]
         conds = []
-        for i, resample in enumerate(self._resamples):
-            layer_cond = resample(cond2d)
+        cache = {}
+        for i, key in enumerate(self._resample_keys):
             # Layer i's in_size is sizes[i-1] (sizes[0] for the first layer).
             prev = max(i - 1, 0)
             in_w = int(sizes_x[prev])
             in_h = int(sizes_y[prev])
+            full_key = (key, in_h, in_w)
+            if full_key in cache:
+                conds.append(cache[full_key])
+                continue
+            layer_cond = levels[key]
             x0 = max(0, (layer_cond.shape[3] - in_w) // 2)
             y0 = max(0, (layer_cond.shape[2] - in_h) // 2)
             layer_cond = layer_cond[:, :, y0:y0 + in_h, x0:x0 + in_w]
@@ -545,7 +577,15 @@ class Generator(nn.Module):
             if pxa or pxb or pya or pyb:
                 layer_cond = jnp.pad(layer_cond, [(0, 0), (0, 0), (pya, pyb), (pxa, pxb)],
                                      mode="edge")
-            conds.append(layer_cond)
+            # Unfold: [n, t, c, h, w] -> windows [n, t_out, c, s, h, w]
+            # -> [(n t_out), c*s, h, w] (c-major, s-minor channel layout, as
+            # the reference's unfold produces).
+            y5 = layer_cond.reshape(n, t, c, in_h, in_w)
+            windows = y5[:, idx]                                          # [n, t_out, s, c, h, w]
+            windows = windows.transpose(0, 1, 3, 2, 4, 5)                 # [n, t_out, c, s, h, w]
+            out = windows.reshape(n * t_out, c * s, in_h, in_w)
+            cache[full_key] = out
+            conds.append(out)
         return conds
 
     def __call__(self, z: jax.Array, cond: jax.Array, truncation_psi: float = 1.0,

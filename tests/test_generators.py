@@ -84,3 +84,57 @@ def test_sres_truncation(sres):
     # psi=0 collapses every w to w_avg (zeros at init) — must still run.
     out = G.apply(variables, lr, z=z, truncation_psi=0.0)
     assert out.shape == (1, 3, 4, 36, 64)
+
+
+def test_prep_cond_matches_unfold_first_formulation():
+    """prep_cond resamples raw frames once per DISTINCT scale, then crops and
+    unfolds; the reference unfolds the temporal window into channels first and
+    resamples per layer (generator_sres.py:581-610). Spatial resampling is
+    per-channel-plane and linear, so the two orders must agree exactly."""
+    from long_video_gan_tpu.models.generator_sres import Generator
+
+    G = Generator(z_dim=32, w_dim=32, img_width=128, img_height=72,
+                  img_channels=3, cond_width=32, cond_height=18,
+                  cond_context=2, num_layers=6, resample_impl="conv")
+    rng = np.random.default_rng(0)
+    n, c, t = 2, 3, 9
+    cond = jnp.asarray(rng.standard_normal((n, c, t, 18, 32)).astype(np.float32))
+
+    bound = G.bind({})  # prep_cond uses no params
+    conds_new = bound.prep_cond(cond)
+
+    # Reference formulation: pad -> unfold-first -> per-layer resample -> crop/pad.
+    edge = max(G.cond_width, G.cond_height)
+    m = G.margin_size
+    px0 = (edge - G.cond_width) // 2 + m
+    px1 = (edge - G.cond_width + 1) // 2 + m
+    py0 = (edge - G.cond_height) // 2 + m
+    py1 = (edge - G.cond_height + 1) // 2 + m
+    condp = jnp.pad(cond, [(0, 0), (0, 0), (0, 0), (py0, py1), (px0, px1)], mode="edge")
+    s = 1 + 2 * G.cond_context
+    t_out = t - s + 1
+    idx = np.arange(t_out)[:, None] + np.arange(s)[None, :]
+    w6 = condp[:, :, idx].transpose(0, 2, 1, 3, 4, 5)
+    cond2d = w6.reshape(n * t_out, c * s, condp.shape[3], condp.shape[4])
+    plan = bound.synthesis.plan()
+    sx, sy = plan["sizes_x"], plan["sizes_y"]
+
+    # At least one scale must be shared across layers for the dedup to be
+    # exercised (the production plan shares every scale).
+    assert len(set(bound._resample_keys)) < len(bound._resample_keys)
+
+    for i, key in enumerate(bound._resample_keys):
+        lc = bound._resample_by_key[key](cond2d)
+        prev = max(i - 1, 0)
+        in_w, in_h = int(sx[prev]), int(sy[prev])
+        x0 = max(0, (lc.shape[3] - in_w) // 2)
+        y0 = max(0, (lc.shape[2] - in_h) // 2)
+        lc = lc[:, :, y0:y0 + in_h, x0:x0 + in_w]
+        pxa = (in_w - lc.shape[3]) // 2
+        pxb = (in_w - lc.shape[3] + 1) // 2
+        pya = (in_h - lc.shape[2]) // 2
+        pyb = (in_h - lc.shape[2] + 1) // 2
+        if pxa or pxb or pya or pyb:
+            lc = jnp.pad(lc, [(0, 0), (0, 0), (pya, pyb), (pxa, pxb)], mode="edge")
+        np.testing.assert_allclose(np.asarray(lc), np.asarray(conds_new[i]),
+                                   rtol=0, atol=1e-6)
