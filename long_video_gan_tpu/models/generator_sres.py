@@ -654,7 +654,8 @@ class VideoGenerator(nn.Module):
 
 
 def sample_video_segments(apply_fn, variables, lr_video, segment_length: int = 8,
-                          temporal_context: int = 4, z=None, rng=None):
+                          temporal_context: int = 4, z=None, rng=None,
+                          prefetch: int = 1):
     """Chunked hr synthesis: unfold the lr video into overlapping windows of
     segment_length + 2*context (stride segment_length), run the generator per
     window with the same z, yield hr segments.
@@ -662,8 +663,15 @@ def sample_video_segments(apply_fn, variables, lr_video, segment_length: int = 8
     This is THE long-video mechanism (reference: generator_sres.py:662-681).
     Host-level loop: every window has identical shapes, so the jitted apply
     compiles once and streams segments without ever materializing the full
-    hr video.
+    hr video. `prefetch` windows are dispatched ahead of the one being
+    yielded, so the device keeps synthesizing while the consumer fetches and
+    encodes the previous segment (JAX dispatch is async; a consumer-side
+    `np.asarray` blocks only on its own segment). prefetch=0 restores fully
+    serialized dispatch; each in-flight segment holds one extra hr segment
+    plus its synthesis workspace on device.
     """
+    import collections as _collections
+
     import jax as _jax
 
     n, c, t, h, w = lr_video.shape
@@ -673,6 +681,11 @@ def sample_video_segments(apply_fn, variables, lr_video, segment_length: int = 8
         assert rng is not None, "need z or rng"
         z = _jax.random.normal(rng, (n, variables["params"]["SG3"]["mapping"]["fc0"]["weight"].shape[1]))
     win = segment_length + 2 * temporal_context
+    pending = _collections.deque()
     for start in range(0, out_t, segment_length):
         window = _jax.lax.dynamic_slice_in_dim(lr_video, start, win, axis=2)
-        yield apply_fn(variables, window, z=z)
+        pending.append(apply_fn(variables, window, z=z))
+        while len(pending) > max(prefetch, 0):
+            yield pending.popleft()
+    while pending:
+        yield pending.popleft()

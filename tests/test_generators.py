@@ -138,3 +138,20 @@ def test_prep_cond_matches_unfold_first_formulation():
             lc = jnp.pad(lc, [(0, 0), (0, 0), (pya, pyb), (pxa, pxb)], mode="edge")
         np.testing.assert_allclose(np.asarray(lc), np.asarray(conds_new[i]),
                                    rtol=0, atol=1e-6)
+
+
+def test_sres_segment_prefetch_matches_serial(sres):
+    """Dispatch-ahead prefetch must not change the streamed segments."""
+    G, variables = sres
+    lr = jax.random.normal(jax.random.key(3), (1, 3, 16, 9, 16))  # T_out = 12
+    z = jax.random.normal(jax.random.key(4), (1, 32))
+    apply_fn = jax.jit(lambda v, w, z: G.apply(v, w, z=z))
+    serial = [np.asarray(s) for s in sample_video_segments(
+        apply_fn, variables, lr, segment_length=4, temporal_context=2, z=z,
+        prefetch=0)]
+    ahead = [np.asarray(s) for s in sample_video_segments(
+        apply_fn, variables, lr, segment_length=4, temporal_context=2, z=z,
+        prefetch=3)]
+    assert len(serial) == len(ahead) == 3
+    for a, b in zip(serial, ahead):
+        np.testing.assert_array_equal(a, b)
