@@ -47,8 +47,31 @@ def main():
                          "does not sync per segment)")
     args = ap.parse_args()
 
+    import os
+    import sys
+    import threading
+
+    # The axon tunnel's device init blocks FOREVER when the relay is up but
+    # the TPU side is unreachable (observed 2026-08-17: port accepts, never
+    # answers). Bound it so a dead tunnel yields a diagnosable failure
+    # instead of a silent hang.
+    init_timeout = float(os.environ.get("LVG_BENCH_INIT_TIMEOUT", "300"))
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(init_timeout):
+            print(f"bench.py: jax device init did not complete within "
+                  f"{init_timeout:.0f}s — TPU tunnel unreachable; aborting",
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
+
     import jax
     import jax.numpy as jnp
+
+    jax.devices()  # force backend init under the watchdog
+    init_done.set()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
