@@ -45,33 +45,49 @@ def main():
                     help="segments synthesized per device call (amortizes the "
                          "~26 ms axon tunnel round-trip; production streaming "
                          "does not sync per segment)")
+    ap.add_argument("--selftest", action="store_true",
+                    help="instead of benchmarking, validate the production "
+                         "Pallas kernels against the composed matrix path on "
+                         "the attached device (fwd + VJP at the real layer "
+                         "geometries); exit 0 iff all match")
     args = ap.parse_args()
 
     import os
-    import sys
-    import threading
 
-    # The axon tunnel's device init blocks FOREVER when the relay is up but
-    # the TPU side is unreachable (observed 2026-08-17: port accepts, never
-    # answers). Bound it so a dead tunnel yields a diagnosable failure
-    # instead of a silent hang.
-    init_timeout = float(os.environ.get("LVG_BENCH_INIT_TIMEOUT", "300"))
-    init_done = threading.Event()
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
 
-    def _watchdog():
-        if not init_done.wait(init_timeout):
-            print(f"bench.py: jax device init did not complete within "
-                  f"{init_timeout:.0f}s — TPU tunnel unreachable; aborting",
-                  file=sys.stderr, flush=True)
-            os._exit(3)
+    # Bounded backend init that survives a flapping tunnel: probe in
+    # expendable subprocesses (a wedged in-process init can never be retried)
+    # until the tunnel answers or the deadline passes, then emit a final
+    # diagnostic JSON line so the driver's artifact is self-describing.
+    init_timeout = float(os.environ.get("LVG_BENCH_INIT_TIMEOUT", "120"))
+    init_deadline = float(os.environ.get("LVG_BENCH_INIT_DEADLINE", "480"))
 
-    threading.Thread(target=_watchdog, daemon=True).start()
+    def _diagnostic_json():
+        print(json.dumps({
+            "metric": "sres_synthesis_frames_per_sec_per_chip_256x144",
+            "value": None,
+            "unit": "frames/s",
+            "vs_baseline": None,
+            "error": "tpu-tunnel-unreachable",
+            "detail": f"jax backend init failed within {init_deadline:.0f}s; "
+                      f"see stderr for probe log",
+        }), flush=True)
+
+    init_backend_with_watchdog(init_timeout, deadline=init_deadline,
+                               diagnostic=_diagnostic_json)
+
+    if args.selftest:
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "scripts"))
+        from tpu_selftest import run_selftest
+
+        sys.exit(0 if run_selftest() else 1)
 
     import jax
     import jax.numpy as jnp
-
-    jax.devices()  # force backend init under the watchdog
-    init_done.set()
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

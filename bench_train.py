@@ -35,7 +35,7 @@ def _peak_hbm_gb():
 
 
 def bench_lres(accum: int, steps: int, remat: bool = False,
-               block_remat: bool = False) -> dict:
+               block_remat: bool = False, fp16_layers: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,8 +49,8 @@ def bench_lres(accum: int, steps: int, remat: bool = False,
         G_grad_accum=accum, D_grad_accum=accum,
         G_random_temp_translate=True, temp_scale_augment=1.0,
         r1_gamma=1.0, remat=remat,
-        G_kwargs=dict(num_fp16_layers=0, temporal_padding=8, temporal_emb_dim=1024,
-                      block_remat=block_remat),
+        G_kwargs=dict(num_fp16_layers=fp16_layers, temporal_padding=8,
+                      temporal_emb_dim=1024, block_remat=block_remat),
         D_kwargs=dict(num_fp16_res=0),
     )
     state = gan.init_state(jax.random.key(0))
@@ -95,6 +95,7 @@ def bench_lres(accum: int, steps: int, remat: bool = False,
         "grad_accum": accum,
         "remat": remat,
         "block_remat": block_remat,
+        "fp16_layers": fp16_layers,
         "peak_hbm_gb": _peak_hbm_gb(),
     }
 
@@ -164,10 +165,17 @@ def bench_sres(accum: int, steps: int, remat: bool = False,
 
 
 def main():
+    import os
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=["lres", "sres", "both"], default="both")
@@ -177,11 +185,17 @@ def main():
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--block-remat", action="store_true",
                     help="per-block rematerialization inside the generators")
+    ap.add_argument("--lres-fp16-layers", type=int, default=0,
+                    help="run the last N lres generator layers in bf16 "
+                         "(reference opt-in, model/generator_lres.py:694-696; "
+                         "halves the late-layer block-input residuals that "
+                         "cap the micro-batch)")
     args = ap.parse_args()
 
     if args.config in ("lres", "both"):
         print(json.dumps(bench_lres(args.lres_accum, args.steps, args.remat,
-                                    args.block_remat)), flush=True)
+                                    args.block_remat, args.lres_fp16_layers)),
+              flush=True)
     if args.config in ("sres", "both"):
         print(json.dumps(bench_sres(args.sres_accum, args.steps, args.remat,
                                     args.block_remat)), flush=True)

@@ -40,6 +40,11 @@ def main(metrics, sres_path, lres_path, dataset_dir, num_runs, batch_size, detec
         jax.config.update("jax_platforms", os.environ["LVG_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
+    # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
+
     from long_video_gan_tpu.io.checkpoint import load_generator
     from long_video_gan_tpu.metrics import metric_main
 

@@ -28,8 +28,12 @@ import numpy as np
 @click.option("--save-lres", is_flag=True, default=False, help="Also write the low-res video")
 @click.option("--save-frames", is_flag=True, default=False, help="Write per-frame PNGs")
 @click.option("--truncation-psi", type=float, default=1.0)
+@click.option("--prefetch", type=int, default=1,
+              help="sres segments dispatched ahead of the one being consumed "
+                   "(device synthesizes while the host encodes; each costs "
+                   "one hr segment of HBM)")
 def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
-         segment_length, save_lres, save_frames, truncation_psi):
+         segment_length, save_lres, save_frames, truncation_psi, prefetch):
     import jax
     import jax.numpy as jnp
 
@@ -37,6 +41,11 @@ def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
         jax.config.update("jax_platforms", os.environ["LVG_PLATFORM"])
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
 
     from long_video_gan_tpu.io.checkpoint import load_generator
     from long_video_gan_tpu.utils.fetch import resolve_path
@@ -87,7 +96,8 @@ def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
     frames_dir = out_path.with_suffix("") if save_frames else None
     for seg in sample_video_segments(sres_apply, sres_vars, lr_video,
                                      segment_length=segment_length,
-                                     temporal_context=temporal_context, z=z):
+                                     temporal_context=temporal_context, z=z,
+                                     prefetch=prefetch):
         seg = np.asarray(seg)
         keep = min(seg.shape[2], num_frames - written)
         if keep <= 0:

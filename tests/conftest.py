@@ -56,7 +56,7 @@ _SLOW_MODULES = {
     "test_convert_cli", "test_train_steps", "test_pallas_kernel",
     "test_generators", "test_temporal_sharding", "test_multihost",
     "test_pallas_fused", "test_i3d", "test_inception_v3", "test_metrics",
-    "test_c3d", "test_accept_reference",
+    "test_c3d", "test_accept_reference", "test_tpu_selftest",
 }
 
 collect_ignore = ["multihost_worker.py"]

@@ -1,0 +1,45 @@
+"""Harness test for scripts/tpu_selftest.py (the on-device kernel validator).
+
+The real run happens on TPU (`python bench.py --selftest`); here we verify the
+harness itself on CPU with a small plan: it passes when the impl agrees with
+the reference path, and FAILS when a fault is injected — i.e. the comparator
+actually has teeth.
+"""
+
+import importlib
+import importlib.util
+import sys
+from pathlib import Path
+
+# `ops/__init__` re-exports the function under the submodule's name; go via
+# importlib to get the module object itself.
+flr_mod = importlib.import_module("long_video_gan_tpu.ops.filtered_lrelu")
+
+_SPEC = importlib.util.spec_from_file_location(
+    "tpu_selftest", Path(__file__).parent.parent / "scripts" / "tpu_selftest.py")
+tpu_selftest = importlib.util.module_from_spec(_SPEC)
+sys.modules["tpu_selftest"] = tpu_selftest
+_SPEC.loader.exec_module(tpu_selftest)
+
+SMALL = dict(frames=2, img_width=64, img_height=36, channel_max=32,
+             verbose=False)
+
+
+def test_selftest_passes_on_agreeing_impl():
+    # On CPU, "packed"/"fused" fall back to the composed path unless forced,
+    # so "matrix" vs matrix exercises the full harness wiring (geometry
+    # harvest, vjp, tolerances) with an impl that must agree.
+    assert tpu_selftest.run_selftest(impls=("matrix",), **SMALL)
+
+
+def test_selftest_detects_injected_fault(monkeypatch):
+    orig = flr_mod.filtered_lrelu
+
+    def faulty(x, *args, impl="conv", **kwargs):
+        out = orig(x, *args, impl="matrix" if impl == "packed" else impl, **kwargs)
+        if impl == "packed":
+            out = out * 1.2  # simulated lowering bug in the packed kernel
+        return out
+
+    monkeypatch.setattr(flr_mod, "filtered_lrelu", faulty)
+    assert not tpu_selftest.run_selftest(impls=("packed",), **SMALL)

@@ -17,7 +17,8 @@ import click
 import numpy as np
 
 
-def build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset):
+def build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset,
+                 fp16_layers=0):
     from long_video_gan_tpu.utils.misc import EasyDict
 
     c = EasyDict(
@@ -33,7 +34,8 @@ def build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
         D_lrate=0.002, D_beta2=0.99, r1_gamma=r1_gamma,
         G_random_temp_translate=True, temp_scale_augment=1.0,
         G_grad_accum=grad_accum, D_grad_accum=grad_accum,
-        G_kwargs=EasyDict(num_fp16_layers=0, temporal_padding=8, temporal_emb_dim=1024),
+        G_kwargs=EasyDict(num_fp16_layers=fp16_layers, temporal_padding=8,
+                          temporal_emb_dim=1024),
         D_kwargs=EasyDict(num_fp16_res=0),
     )
     if c.r1_interval > 0:
@@ -80,6 +82,11 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
     jax.config.update("jax_default_matmul_precision", c.get("matmul_precision", "default"))
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
 
     from long_video_gan_tpu.data.dataset import VideoDataset
     from long_video_gan_tpu.data.loader import get_infinite_data_iter
@@ -235,11 +242,16 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
               help="Per-block rematerialization inside G. Recommended for lres: "
                    "lifts micro-batch 2->4, 85.9 -> 34.1 sec/step on v5e "
                    "(use with --grad-accum 16; see BASELINE.md)")
+@click.option("--fp16-layers", type=int, default=0,
+              help="Run the last N generator layers in bf16 (reference opt-in "
+                   "model/generator_lres.py:694-696); halves late-layer "
+                   "residual memory, enabling larger micro-batches")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, remat, block_remat, matmul_precision, use_wandb):
+         resume, total_steps, remat, block_remat, fp16_layers, matmul_precision,
+         use_wandb):
     """Train a low-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -247,7 +259,8 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
         python train_lres.py --dataset=datasets/horseback --batch=64 \\
             --grad-accum=2 --gamma=1.0 --metric=fvd2048_128f
     """
-    c = build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset)
+    c = build_config(dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset,
+                     fp16_layers)
     if total_steps is not None:
         c.total_steps = total_steps
     c.gan_kwargs.remat = remat
@@ -258,6 +271,20 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
         is_main_process, maybe_initialize_distributed)
 
     maybe_initialize_distributed()
+
+    # Platform override + bounded backend init BEFORE the first JAX API call
+    # (is_main_process below inits the backend; on a dead axon tunnel an
+    # unbounded init blocks forever with no diagnosis).
+    import os as _os
+
+    import jax as _jax
+
+    if _os.environ.get("LVG_PLATFORM"):
+        _jax.config.update("jax_platforms", _os.environ["LVG_PLATFORM"])
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(_os.environ.get("LVG_INIT_TIMEOUT", "120")))
+
     if seed is None:
         import jax
 

@@ -80,6 +80,11 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
+
     from long_video_gan_tpu.data.dataset import VideoDatasetTwoRes
     from long_video_gan_tpu.data.loader import get_infinite_data_iter
     from long_video_gan_tpu.io.checkpoint import load_checkpoint, save_checkpoint, save_generator
@@ -279,6 +284,20 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
         is_main_process, maybe_initialize_distributed)
 
     maybe_initialize_distributed()
+
+    # Platform override + bounded backend init BEFORE the first JAX API call
+    # (is_main_process below inits the backend; on a dead axon tunnel an
+    # unbounded init blocks forever with no diagnosis).
+    import os as _os
+
+    import jax as _jax
+
+    if _os.environ.get("LVG_PLATFORM"):
+        _jax.config.update("jax_platforms", _os.environ["LVG_PLATFORM"])
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(_os.environ.get("LVG_INIT_TIMEOUT", "120")))
+
     if seed is None:
         import jax
 
