@@ -74,6 +74,89 @@ def host_memory_gb() -> float:
             return 0.0
 
 
+def categorize_hlo_op(name: str) -> str:
+    """Coarse HLO-op category for trace summaries (shared by
+    scripts/trace_ops.py and scripts/profile_train.py --trace)."""
+    n = name.lower()
+    if "flr" in n or "packed" in n or "custom-call" in n and "mosaic" in n:
+        return "pallas filtered_lrelu"
+    if n.startswith("%convolution") or "conv" in n.split(".")[0]:
+        return "conv"
+    if n.startswith("%dot") or "dot" in n.split(".")[0]:
+        return "dot (resample/mapping)"
+    if "fusion" in n:
+        return "fusion (elementwise/reduce)"
+    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
+        return "relayout"
+    if "dynamic" in n or "slice" in n or "concatenate" in n or "pad" in n or "gather" in n:
+        return "slice/concat/pad/gather"
+    return "other"
+
+
+def xplane_op_times(trace_dir: str) -> list:
+    """[(hlo op name, device seconds)] from the newest xplane under trace_dir
+    (device plane only — the 'XLA Ops' line)."""
+    import glob
+
+    # The xplane proto ships under different names per TF/plugin version; in
+    # this image only the tensorflow.tsl path exists (the plugin wheel does
+    # not bundle xplane_pb2).
+    xplane_pb2 = None
+    for modpath in ("tensorflow.tsl.profiler.protobuf.xplane_pb2",
+                    "tsl.profiler.protobuf.xplane_pb2",
+                    "tensorboard_plugin_profile.protobuf.xplane_pb2",
+                    "xprof.protobuf.xplane_pb2"):
+        try:
+            import importlib
+
+            xplane_pb2 = importlib.import_module(modpath)
+            break
+        except ImportError:
+            continue
+    assert xplane_pb2 is not None, "no xplane_pb2 proto module available"
+
+    paths = sorted(glob.glob(f"{trace_dir}/**/*.xplane.pb", recursive=True),
+                   key=os.path.getmtime)
+    assert paths, f"no xplane written under {trace_dir}"
+    xs = xplane_pb2.XSpace()
+    with open(paths[-1], "rb") as fp:
+        xs.ParseFromString(fp.read())
+
+    rows = []
+    for plane in xs.planes:
+        if "TPU" not in plane.name and "Axon" not in plane.name:
+            continue
+        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
+        for line in plane.lines:
+            if "XLA Ops" not in line.name and "Ops" != line.name:
+                continue
+            for ev in line.events:
+                rows.append((ev_meta.get(ev.metadata_id, "?"),
+                             ev.duration_ps / 1e12))
+    return rows
+
+
+def print_op_summary(rows, top: int = 30) -> None:
+    """Grouped + top-N op table from xplane_op_times rows."""
+    import collections
+
+    per_op = collections.Counter()
+    per_cat = collections.Counter()
+    for name, dur in rows:
+        per_op[name] += dur
+        per_cat[categorize_hlo_op(name)] += dur
+    total = sum(per_op.values()) or 1e-12
+
+    print(f"\ndevice time total = {total * 1e3:.1f} ms\n")
+    print(f"{'category':<32}{'ms':>9}{'%':>7}")
+    for cat, dur in per_cat.most_common():
+        print(f"{cat:<32}{dur * 1e3:>9.2f}{100 * dur / total:>6.1f}%")
+    print(f"\ntop {top} ops by total self time:")
+    print(f"{'op':<72}{'ms':>9}{'%':>7}")
+    for name, dur in per_op.most_common(top):
+        print(f"{name[:71]:<72}{dur * 1e3:>9.2f}{100 * dur / total:>6.1f}%")
+
+
 def module_summary(module, *args, rngs=None, **kwargs) -> str:
     """Architecture table: per-module params/shapes (replaces the reference's
     hook-based print_module_summary, torch_utils/misc.py:196-269)."""

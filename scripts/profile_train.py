@@ -32,7 +32,13 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--block-remat", action="store_true")
     ap.add_argument("--trace", type=str, default=None,
-                    help="dump an xplane trace of one step cycle to this dir")
+                    help="dump an xplane trace to this dir and print the "
+                         "grouped + top-op device-time summary")
+    ap.add_argument("--trace-phase", type=str, default=None,
+                    help="trace only this phase (e.g. update_G) instead of "
+                         "the full cycle — the per-op drill-down for the "
+                         "dominant phase")
+    ap.add_argument("--top", type=int, default=30)
     args = ap.parse_args()
 
     import jax
@@ -126,13 +132,19 @@ def main():
           flush=True)
 
     if args.trace:
-        from long_video_gan_tpu.utils.profiling import trace
+        from long_video_gan_tpu.utils.profiling import (
+            print_op_summary, trace, xplane_op_times)
 
+        traced = [(n, f) for n, f, _ in phases
+                  if args.trace_phase in (None, n)]
+        assert traced, f"no phase named {args.trace_phase!r}"
         with trace(args.trace):
-            for name, fn, _ in phases:
+            for name, fn in traced:
                 state = fn(state)
                 float(jax.device_get(state.step))
-        print(json.dumps({"trace_dir": args.trace}), flush=True)
+        print(json.dumps({"trace_dir": args.trace,
+                          "phases": [n for n, _ in traced]}), flush=True)
+        print_op_summary(xplane_op_times(args.trace), top=args.top)
 
 
 if __name__ == "__main__":

@@ -12,30 +12,11 @@ Usage: python scripts/trace_ops.py [--impl auto] [--chain 4] [--top 30]
 from __future__ import annotations
 
 import argparse
-import collections
-import glob
 import sys
 import tempfile
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
-
-
-def _category(name: str) -> str:
-    n = name.lower()
-    if "flr" in n or "packed" in n or "custom-call" in n and "mosaic" in n:
-        return "pallas filtered_lrelu"
-    if n.startswith("%convolution") or "conv" in n.split(".")[0]:
-        return "conv"
-    if n.startswith("%dot") or "dot" in n.split(".")[0]:
-        return "dot (resample/mapping)"
-    if "fusion" in n:
-        return "fusion (elementwise/reduce)"
-    if "copy" in n or "transpose" in n or "reshape" in n or "bitcast" in n:
-        return "relayout"
-    if "dynamic" in n or "slice" in n or "concatenate" in n or "pad" in n or "gather" in n:
-        return "slice/concat/pad/gather"
-    return "other"
 
 
 def main():
@@ -92,48 +73,18 @@ def main():
     for _ in range(2):  # compile + steady state
         float(synth(variables, lr_video, z))
 
+    from long_video_gan_tpu.utils.profiling import print_op_summary, xplane_op_times
+
     tmp = tempfile.mkdtemp(prefix="lvg_trace_")
     with jax.profiler.trace(tmp):
         float(synth(variables, lr_video, z))
 
-    from tensorboard_plugin_profile.protobuf import xplane_pb2
-
-    paths = glob.glob(f"{tmp}/**/*.xplane.pb", recursive=True)
-    assert paths, f"no xplane written under {tmp}"
-    xs = xplane_pb2.XSpace()
-    with open(paths[0], "rb") as fp:
-        xs.ParseFromString(fp.read())
-
-    rows = []
-    for plane in xs.planes:
-        if "TPU" not in plane.name and "Axon" not in plane.name:
-            continue
-        ev_meta = {m.id: m.name for m in plane.event_metadata.values()}
-        for line in plane.lines:
-            if "XLA Ops" not in line.name and "Ops" != line.name:
-                continue
-            for ev in line.events:
-                rows.append((ev_meta.get(ev.metadata_id, "?"),
-                             ev.duration_ps / 1e12))
+    rows = xplane_op_times(tmp)
     assert rows, "no XLA Ops line found in the device plane"
-
-    per_op = collections.Counter()
-    per_cat = collections.Counter()
-    for name, dur in rows:
-        per_op[name] += dur
-        per_cat[_category(name)] += dur
-    total = sum(per_op.values())
+    total = sum(d for _, d in rows)
     frames = segment * chain
-
-    print(f"\ndevice time for {chain} chained segments = {total*1e3:.1f} ms "
-          f"({frames/total:.1f} frames/s device-side)\n")
-    print(f"{'category':<32}{'ms':>9}{'%':>7}")
-    for cat, dur in per_cat.most_common():
-        print(f"{cat:<32}{dur*1e3:>9.2f}{100*dur/total:>6.1f}%")
-    print(f"\ntop {args.top} ops by total self time:")
-    print(f"{'op':<72}{'ms':>9}{'%':>7}")
-    for name, dur in per_op.most_common(args.top):
-        print(f"{name[:71]:<72}{dur*1e3:>9.2f}{100*dur/total:>6.1f}%")
+    print(f"\n{chain} chained segments: {frames / total:.1f} frames/s device-side")
+    print_op_summary(rows, top=args.top)
 
 
 if __name__ == "__main__":
