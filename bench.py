@@ -82,9 +82,11 @@ def main():
 
         sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                         "scripts"))
-        from tpu_selftest import run_selftest
+        from tpu_selftest import run_model_selftest, run_selftest
 
-        sys.exit(0 if run_selftest() else 1)
+        ok = run_selftest()
+        ok = run_model_selftest() and ok
+        sys.exit(0 if ok else 1)
 
     import jax
     import jax.numpy as jnp
@@ -169,6 +171,13 @@ def main():
     # MFU from the chained run (free of the ~26 ms axon tunnel round-trip that
     # production streaming never pays per segment).
     mfu = fps * TFLOP_PER_FRAME / PEAK_TFLOPS
+
+    try:
+        from long_video_gan_tpu.utils.profiling import peak_device_memory_gb
+
+        peak_hbm = round(peak_device_memory_gb(), 2)
+    except Exception:
+        peak_hbm = None
     print(json.dumps({
         "metric": "sres_synthesis_frames_per_sec_per_chip_256x144",
         "value": round(fps, 2),
@@ -178,6 +187,8 @@ def main():
         "per_segment_value": round(fps_per_segment, 2),
         "per_segment_vs_baseline": round(fps_per_segment / BASELINE_FPS, 3),
         "mfu": round(mfu, 3),
+        "device_kind": jax.devices()[0].device_kind,
+        "peak_hbm_gb": peak_hbm,
     }))
 
 

@@ -157,16 +157,76 @@ def run_selftest(impls=("packed", "fused"), frames: int = 24,
     return all_ok
 
 
+def run_model_selftest(impls=("packed", "fused"), segment: int = 16,
+                       tol: float = 0.05, hr=(256, 144), lr=(64, 36),
+                       channel_max: int = 512) -> bool:
+    """Whole-model check: one full sres segment synthesized with each kernel
+    policy must match the composed `matrix` policy end-to-end (same device,
+    same params/inputs). Catches accumulation/layout effects a per-layer
+    comparison can miss. Tolerance is relative max-abs error on the final
+    f32 video (the bf16 stack gives each policy its own rounding points)."""
+    import jax
+    import jax.numpy as jnp
+
+    from long_video_gan_tpu.models.generator_sres import VideoGenerator
+
+    context = 4
+    rng = np.random.default_rng(0)
+    lr_shape = (1, 3, segment + 2 * context, lr[1], lr[0])
+    lr_video = jnp.asarray(rng.standard_normal(lr_shape).astype(np.float32) * 0.2)
+
+    def synth(impl):
+        G = VideoGenerator(hr_height=hr[1], hr_width=hr[0], lr_height=lr[1],
+                           lr_width=lr[0], temporal_context=context,
+                           num_fp16_res=4, channel_max=channel_max,
+                           resample_impl=impl)
+        shapes = jax.eval_shape(
+            lambda: G.init({"params": jax.random.key(0), "noise": jax.random.key(1)},
+                           jnp.zeros(lr_shape, jnp.float32)))
+        fill_rng = np.random.default_rng(7)
+
+        def fill(path, s):
+            name = "/".join(str(getattr(k, "key", k)) for k in path)
+            if "ema" in name or "magnitude" in name:
+                return np.ones(s.shape, s.dtype)
+            if np.issubdtype(s.dtype, np.floating):
+                return (fill_rng.standard_normal(s.shape) * 0.1).astype(s.dtype)
+            return np.zeros(s.shape, s.dtype)
+
+        variables = jax.tree_util.tree_map_with_path(fill, shapes)
+        z = jnp.asarray(np.random.default_rng(3).standard_normal(
+            (1, G.latent_z_dim)).astype(np.float32))
+        return np.asarray(jax.jit(lambda v, w, z: G.apply(v, w, z=z))(
+            variables, lr_video, z), np.float32)
+
+    ref = synth("matrix")
+    scale = float(np.max(np.abs(ref))) or 1.0
+    all_ok = True
+    for impl in impls:
+        got = synth(impl)
+        err = float(np.max(np.abs(got - ref))) / scale
+        ok = err <= tol
+        all_ok &= ok
+        print(f"model selftest [{impl} vs matrix], {segment}-frame segment: "
+              f"rel_err={err:.2e} {'ok' if ok else '<FAIL>'}", flush=True)
+    return all_ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--impls", default="packed,fused")
     ap.add_argument("--frames", type=int, default=24)
+    ap.add_argument("--skip-model", action="store_true",
+                    help="skip the whole-model segment comparison")
     args = ap.parse_args()
 
     from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
 
     init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
-    ok = run_selftest(tuple(args.impls.split(",")), args.frames)
+    impls = tuple(args.impls.split(","))
+    ok = run_selftest(impls, args.frames)
+    if not args.skip_model:
+        ok = run_model_selftest(impls) and ok
     sys.exit(0 if ok else 1)
 
 

@@ -43,3 +43,25 @@ def test_selftest_detects_injected_fault(monkeypatch):
 
     monkeypatch.setattr(flr_mod, "filtered_lrelu", faulty)
     assert not tpu_selftest.run_selftest(impls=("packed",), **SMALL)
+
+
+SMALL_MODEL = dict(segment=2, hr=(128, 72), lr=(32, 18), channel_max=32)
+
+
+def test_model_selftest_passes_on_agreeing_impl():
+    assert tpu_selftest.run_model_selftest(impls=("matrix",), **SMALL_MODEL)
+
+
+def test_model_selftest_detects_fault(monkeypatch):
+    # The generator binds filtered_lrelu at import; patch ITS binding.
+    gs = importlib.import_module("long_video_gan_tpu.models.generator_sres")
+    orig = gs.filtered_lrelu
+
+    def faulty(x, *args, impl="conv", **kwargs):
+        out = orig(x, *args, impl="matrix" if impl == "packed" else impl, **kwargs)
+        if impl == "packed":
+            out = out * 1.1
+        return out
+
+    monkeypatch.setattr(gs, "filtered_lrelu", faulty)
+    assert not tpu_selftest.run_model_selftest(impls=("packed",), **SMALL_MODEL)
