@@ -83,7 +83,15 @@ def _act_grad_factory(gain, slope, clamp):
 
 
 def _mm(a, b):
-    return jnp.dot(a, b, preferred_element_type=jnp.float32)
+    # bf16 operands are exact on the MXU; f32 operands must request HIGHEST
+    # or Mosaic lowers them as a single bf16 pass (measured on v5e: ~5e-3
+    # forward / 4e-2 grad error vs a true-f32 oracle on the f32 layers).
+    # The f32 layers are the three smallest in the production plan, so the
+    # 3-pass cost is noise.
+    precision = (None if a.dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=precision)
 
 
 def _col_tile_windows(mat: np.ndarray, tile: int = 128, kalign: int = 128):

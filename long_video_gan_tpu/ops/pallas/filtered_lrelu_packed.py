@@ -139,13 +139,15 @@ def _packed_fwd_plan(h, w, up, down, padding, fu_taps, fd_taps, itemsize):
     per_img, k, au_np, butP, ad_np, bdtP, flops, ops_bytes = best
     kwp, kwup = butP.shape
     kwop = bdtP.shape[1]
+    hpad = _ceil(h, 16)
     per_super = (
         2 * k * (h * wp + ho * wop) * itemsize            # in/out double-buffered
+        + hpad * kwp * itemsize                           # per-si staging slab
         + hup * kwp * msize                               # t1 scratch rows
         + hup * kwup * (4 + msize)                        # u (f32) + z
         + hup * kwop * 4                                   # t3 rows (f32)
     )
-    g = _pick_g(per_super, ops_bytes + h * kwp * msize, hup)
+    g = _pick_g(per_super, ops_bytes, hup)
     return dict(k=k, g=g, au=au_np, but=butP, ad=ad_np, bdt=bdtP, hu=hu,
                 wu=wu, ho=ho, wo=wo, hup=hup, flops=flops * g)
 
@@ -188,13 +190,16 @@ def _packed_bwd_plan(h, w, up, down, padding, fu_taps, fd_taps, itemsize):
     per_img, k, au_np, aut_np, adt_np, butP, buP, bdP, flops, ops_bytes = best
     kwp, kwup = butP.shape
     kwop = bdP.shape[0]
+    hpad = _ceil(h, 16)
+    hopad = _ceil(ho, 16)
     per_super = (
         2 * k * (2 * h * wp + ho * wop) * itemsize        # x, dx, dy streams
+        + (hpad * kwp + hopad * kwop) * itemsize          # per-si staging slabs
         + 2 * hup * kwp * msize                           # t1, dt1 rows
         + hup * kwup * (3 * 4 + msize)                    # u, g, dz (f32) + du
         + hup * kwop * msize                               # s1 rows
     )
-    g = _pick_g(per_super, ops_bytes + (h * kwp + ho * kwop) * msize, hup)
+    g = _pick_g(per_super, ops_bytes, hup)
     return dict(k=k, g=g, au=au_np, aut=aut_np, adt=adt_np, but=butP, bu=buP,
                 bd=bdP, hu=hu, wu=wu, ho=ho, wo=wo, hup=hup, flops=flops * g)
 
@@ -230,6 +235,8 @@ def _packed_fwd(x, *, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
     if bp != b:
         x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
 
+    hpad = _ceil(h, 16)
+
     def kernel(x_ref, au_ref, but_ref, ad_ref, bdt_ref, o_ref, xs_ref, t1_ref):
         # Blocks arrive in the natural [g*k, h, w] layout; packing happens
         # in VMEM: k static lane-offset copies per super-image (the cheapest
@@ -239,12 +246,21 @@ def _packed_fwd(x, *, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
         # batched over all g super-images (M = g*hup). Lane-pad zeros are
         # exact: act keeps 0 -> 0 and the operators' zero rows/cols
         # contribute nothing.
+        #
+        # Each si stages into its OWN sublane-aligned slab (rows si*hpad..):
+        # reusing one staging buffer across si miscompiles on real Mosaic —
+        # the first si's consuming matmul reads the buffer before that si's
+        # staging stores land (observed v5e, bf16, small single-lane-tile
+        # plans: selftest L3/L4 fwd rel_err ~1; interpret mode was exact).
+        # Disjoint per-si regions sidestep the ordering bug at ~2x staging
+        # VMEM, which the plan accounts for.
         for si in range(g):
+            r0 = si * hpad
             if kwp != k * w:
-                xs_ref[:, k * w:] = jnp.zeros((h, kwp - k * w), x_ref.dtype)
+                xs_ref[r0:r0 + h, k * w:] = jnp.zeros((h, kwp - k * w), x_ref.dtype)
             for j in range(k):
-                xs_ref[:, j * w:(j + 1) * w] = x_ref[si * k + j]
-            t1 = _banded_lhs_mm(au_ref, au_np, xs_ref[...], hup)
+                xs_ref[r0:r0 + h, j * w:(j + 1) * w] = x_ref[si * k + j]
+            t1 = _banded_lhs_mm(au_ref, au_np, xs_ref[r0:r0 + h, :], hup)
             t1_ref[si * hup:(si + 1) * hup, :] = t1.astype(mat_dtype)
         u = _banded_rhs_mm(t1_ref[...], but_ref, but_np, kwup)
         z = act(u).astype(mat_dtype)
@@ -269,7 +285,7 @@ def _packed_fwd(x, *, up, down, padding, gain, slope, clamp, fu_taps, fd_taps):
         out_specs=pl.BlockSpec((kg, ho, wo), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, ho, wo), out_dtype),
-        scratch_shapes=[pltpu.VMEM((h, kwp), x.dtype),
+        scratch_shapes=[pltpu.VMEM((g * hpad, kwp), x.dtype),
                         pltpu.VMEM((g * hup, kwp), mat_dtype)],
         cost_estimate=pl.CostEstimate(
             flops=plan["flops"] * (bp // kg),
@@ -316,24 +332,31 @@ def _packed_bwd(x, dy, *, up, down, padding, gain, slope, clamp, fu_taps, fd_tap
         x = jnp.pad(x, [(0, bp - b), (0, 0), (0, 0)])
         dy = jnp.pad(dy, [(0, bp - b), (0, 0), (0, 0)])
 
+    hpad = _ceil(h, 16)
+    hopad = _ceil(ho, 16)
+
     def kernel(x_ref, dy_ref, au_ref, but_ref, aut_ref, bu_ref, adt_ref,
                bd_ref, o_ref, xs_ref, dys_ref, t1_ref, s1_ref):
         # dX = Au^T @ ( act'(U) * (Ad^T @ dY @ Bd) ) @ Bu, U recomputed
         # on-chip (no sign/residual tensor touches HBM). In-VMEM lane
         # packing for x and dY; H-passes per super-image into row-stack
-        # scratches; W-passes batched (M = g*hup).
+        # scratches; W-passes batched (M = g*hup). Per-si staging slabs,
+        # not one reused buffer — see the forward kernel's ordering note.
         for si in range(g):
+            r0 = si * hpad
+            q0 = si * hopad
             if kwp != k * w:
-                xs_ref[:, k * w:] = jnp.zeros((h, kwp - k * w), x_ref.dtype)
+                xs_ref[r0:r0 + h, k * w:] = jnp.zeros((h, kwp - k * w), x_ref.dtype)
             if kwop != k * wo:
-                dys_ref[:, k * wo:] = jnp.zeros((ho, kwop - k * wo), dy_ref.dtype)
+                dys_ref[q0:q0 + ho, k * wo:] = jnp.zeros((ho, kwop - k * wo),
+                                                         dy_ref.dtype)
             for j in range(k):
-                xs_ref[:, j * w:(j + 1) * w] = x_ref[si * k + j]
-                dys_ref[:, j * wo:(j + 1) * wo] = dy_ref[si * k + j]
+                xs_ref[r0:r0 + h, j * w:(j + 1) * w] = x_ref[si * k + j]
+                dys_ref[q0:q0 + ho, j * wo:(j + 1) * wo] = dy_ref[si * k + j]
             t1_ref[si * hup:(si + 1) * hup, :] = _banded_lhs_mm(
-                au_ref, au_np, xs_ref[...], hup).astype(mat_dtype)
+                au_ref, au_np, xs_ref[r0:r0 + h, :], hup).astype(mat_dtype)
             s1_ref[si * hup:(si + 1) * hup, :] = _banded_lhs_mm(
-                adt_ref, adt_np, dys_ref[...], hup).astype(mat_dtype)
+                adt_ref, adt_np, dys_ref[q0:q0 + ho, :], hup).astype(mat_dtype)
         u = _banded_rhs_mm(t1_ref[...], but_ref, but_np, kwup)
         gu = act_grad(u)
         dz = _banded_rhs_mm(s1_ref[...], bd_ref, bd_np, kwup)
@@ -362,8 +385,8 @@ def _packed_bwd(x, dy, *, up, down, padding, gain, slope, clamp, fu_taps, fd_tap
         out_specs=pl.BlockSpec((kg, h, w), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bp, h, w), out_dtype),
-        scratch_shapes=[pltpu.VMEM((h, kwp), x.dtype),
-                        pltpu.VMEM((ho, kwop), dy.dtype),
+        scratch_shapes=[pltpu.VMEM((g * hpad, kwp), x.dtype),
+                        pltpu.VMEM((g * hopad, kwop), dy.dtype),
                         pltpu.VMEM((g * hup, kwp), mat_dtype),
                         pltpu.VMEM((g * hup, kwop), mat_dtype)],
         cost_estimate=pl.CostEstimate(

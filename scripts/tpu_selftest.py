@@ -120,7 +120,13 @@ def run_selftest(impls=("packed", "fused"), frames: int = 24,
             all_ok = False
             continue
 
-        out_ref, gx_ref, gb_ref = jax.device_get(ref_run(x, b, cot))
+        # The composed-oracle's XLA matmuls would otherwise run at the TPU
+        # default (one-pass bf16) precision, making the REFERENCE the least
+        # precise f32 path in the comparison (observed: uniform ~3e-3 "errors"
+        # on every f32 row, identical for packed and fused). The kernels'
+        # Mosaic dots accumulate in f32; hold the oracle to the same bar.
+        with jax.default_matmul_precision("highest"):
+            out_ref, gx_ref, gb_ref = jax.device_get(ref_run(x, b, cot))
         ftol, gtol = TOLS[str(np.dtype(wdt))]
 
         for impl in impls:
