@@ -35,7 +35,8 @@ def _peak_hbm_gb():
 
 
 def bench_lres(accum: int, steps: int, remat: bool = False,
-               block_remat: bool = False, fp16_layers: int = 0) -> dict:
+               block_remat: bool = False, fp16_layers: int = 0,
+               accum_unroll: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +49,7 @@ def bench_lres(accum: int, steps: int, remat: bool = False,
         seq_length=seq, height=36, width=64, total_batch=total_batch,
         G_grad_accum=accum, D_grad_accum=accum,
         G_random_temp_translate=True, temp_scale_augment=1.0,
-        r1_gamma=1.0, remat=remat,
+        r1_gamma=1.0, remat=remat, accum_unroll=accum_unroll,
         G_kwargs=dict(num_fp16_layers=fp16_layers, temporal_padding=8,
                       temporal_emb_dim=1024, block_remat=block_remat),
         D_kwargs=dict(num_fp16_res=0),
@@ -95,13 +96,14 @@ def bench_lres(accum: int, steps: int, remat: bool = False,
         "grad_accum": accum,
         "remat": remat,
         "block_remat": block_remat,
+        "accum_unroll": accum_unroll,
         "fp16_layers": fp16_layers,
         "peak_hbm_gb": _peak_hbm_gb(),
     }
 
 
 def bench_sres(accum: int, steps: int, remat: bool = False,
-               block_remat: bool = False) -> dict:
+               block_remat: bool = False, accum_unroll: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -114,7 +116,7 @@ def bench_sres(accum: int, steps: int, remat: bool = False,
         seq_length=seq, temporal_context=ctx,
         lr_height=36, lr_width=64, hr_height=144, hr_width=256,
         total_batch=total_batch, G_grad_accum=accum, D_grad_accum=accum,
-        r1_gamma=1.0, remat=remat,
+        r1_gamma=1.0, remat=remat, accum_unroll=accum_unroll,
         G_kwargs=dict(num_fp16_res=4, resample_impl="auto",
                       block_remat=block_remat),
         D_kwargs=dict(num_fp16_res=4),
@@ -160,6 +162,7 @@ def bench_sres(accum: int, steps: int, remat: bool = False,
         "grad_accum": accum,
         "remat": remat,
         "block_remat": block_remat,
+        "accum_unroll": accum_unroll,
         "peak_hbm_gb": _peak_hbm_gb(),
     }
 
@@ -183,6 +186,9 @@ def main():
     ap.add_argument("--sres-accum", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--unroll-accum", type=int, default=1,
+                    help="unroll factor for the grad-accumulation scans "
+                         "(1 = rolled; full unroll OOMs at the sres config)")
     ap.add_argument("--block-remat", action="store_true",
                     help="per-block rematerialization inside the generators")
     ap.add_argument("--lres-fp16-layers", type=int, default=0,
@@ -194,11 +200,12 @@ def main():
 
     if args.config in ("lres", "both"):
         print(json.dumps(bench_lres(args.lres_accum, args.steps, args.remat,
-                                    args.block_remat, args.lres_fp16_layers)),
+                                    args.block_remat, args.lres_fp16_layers,
+                                    args.unroll_accum)),
               flush=True)
     if args.config in ("sres", "both"):
         print(json.dumps(bench_sres(args.sres_accum, args.steps, args.remat,
-                                    args.block_remat)), flush=True)
+                                    args.block_remat, args.unroll_accum)), flush=True)
 
 
 if __name__ == "__main__":

@@ -80,6 +80,8 @@ class LowResVideoGAN:
     # G_kwargs["block_remat"]=True for per-block remat inside the generator,
     # the measured lever (lres micro-batch 2 -> 4, 85.9 -> 17.3 s/step).
     remat: bool = False
+    # Unroll factor for the grad-accumulation scans (see SuperResVideoGAN).
+    accum_unroll: int = 1
 
     def __post_init__(self):
         assert self.total_batch % self.G_grad_accum == 0
@@ -175,7 +177,8 @@ class LowResVideoGAN:
         zero_grads = jax.tree.map(jnp.zeros_like, state.G["params"])
         zero_stats = {k: jnp.zeros(3) for k in ("loss/G_score", "loss/G_sign", "loss/G_loss")}
         keys = jax.random.split(key, self.G_grad_accum)
-        (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats), keys)
+        (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats), keys,
+                                         unroll=max(1, min(int(self.accum_unroll), self.G_grad_accum)))
 
         grads = scrub_grads(grads, gain=1.0 / self.G_grad_accum)
         lrate = warmup_lrate(self.G_lrate, state.step, self.G_warmup_steps)
@@ -233,7 +236,8 @@ class LowResVideoGAN:
         zero_stats = {k: jnp.zeros(3) for k in names}
         keys = jax.random.split(key, accum)
         (grads, stats, new_G), _ = jax.lax.scan(
-            accum_step, (zero_grads, zero_stats, state.G), (real_chunks, keys))
+            accum_step, (zero_grads, zero_stats, state.G), (real_chunks, keys),
+            unroll=max(1, min(int(self.accum_unroll), accum)))
         state = state.replace(G=new_G)
 
         grads = scrub_grads(grads, gain=1.0 / accum)
@@ -279,7 +283,8 @@ class LowResVideoGAN:
         zero_grads = jax.tree.map(jnp.zeros_like, state.D["params"])
         zero_stats = {k: jnp.zeros(3) for k in ("loss/r1_penalty", "loss/r1_loss")}
         keys = jax.random.split(key, accum)
-        (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats), (chunks, keys))
+        (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats), (chunks, keys),
+                                         unroll=max(1, min(int(self.accum_unroll), accum)))
 
         grads = scrub_grads(grads, gain=gain / accum)
         lrate = warmup_lrate(self.D_lrate, state.step, self.D_warmup_steps)

@@ -83,6 +83,13 @@ class SuperResVideoGAN:
     # batches via grad_accum to fit memory instead. Per-block remat inside
     # the generators is the real lever and is tracked as future work.
     remat: bool = False
+    # Unroll factor for the grad-accumulation scans (1 = rolled while loop).
+    # The rolled loop carries the whole gradient pytree and XLA relayouts the
+    # carry at every iteration boundary (measured r4: relayout = 39.6% of
+    # update_G device time); unrolling trades compile time + peak HBM for
+    # removing those copies. Full unroll at the reference sres config OOMs on
+    # one v5e chip (measured r4) — partial factors are the usable range.
+    accum_unroll: int = 1
 
     augment_p_init: float = 0.0
     augment_p_max: float = 0.5
@@ -92,6 +99,17 @@ class SuperResVideoGAN:
 
     in_augment_p: float = 0.5
     in_augment_strength: float = 8.0
+    # Static reflect-pad margin for the in_augment geometric warp, as a
+    # fraction of the frame size. The default AugmentPipe margin (1.0 = the
+    # reference's clamp bound, size-1) pads 36x64 lr frames to 106x190 before
+    # the x2 supersampled warp — a ~10x inflated gather source for transforms
+    # whose 4-sigma-joint worst case (strength 8: scale_std .08, aniso_std
+    # .08, rotate_max .016pi, xfrac_std .016) needs only ~24 px of x margin
+    # ((2^.32·2^.32-1)·32 + sin(.016pi)·18·1.56 + 4·.016·64 + 1) and ~16 px
+    # of y margin. 0.5 (32 px x, 18 px y) covers that with headroom; draws
+    # beyond it read zeros marginally earlier than the reference's reflect
+    # padding — negligible for a corruption augment.
+    in_augment_margin_frac: float = 0.5
 
     def __post_init__(self):
         self.context_seq_length = self.seq_length + 2 * self.temporal_context
@@ -116,7 +134,8 @@ class SuperResVideoGAN:
             self.in_augment = AugmentPipe(
                 scale=1, scale_std=0.01 * s, rotate=1, rotate_max=0.002 * s,
                 aniso=1, aniso_std=0.01 * s, xfrac=1, xfrac_std=0.002 * s,
-                noise=1, noise_std=0.01 * s)
+                noise=1, noise_std=0.01 * s,
+                margin_frac=self.in_augment_margin_frac)
 
         self.update_G = jax.jit(self._update_G, donate_argnums=0)
         self.update_D = jax.jit(self._update_D, donate_argnums=0)
@@ -220,7 +239,8 @@ class SuperResVideoGAN:
         zero_grads = jax.tree.map(jnp.zeros_like, state.G["params"])
         zero_stats = {k: jnp.zeros(3) for k in ("loss/G_score", "loss/G_sign", "loss/G_loss")}
         keys = jax.random.split(k_steps, accum)
-        (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats), (chunks, keys))
+        (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats), (chunks, keys),
+                                         unroll=max(1, min(int(self.accum_unroll), accum)))
 
         grads = scrub_grads(grads, gain=1.0 / accum)
         lrate = warmup_lrate(self.G_lrate, state.step, self.G_warmup_steps)
@@ -290,7 +310,8 @@ class SuperResVideoGAN:
         (grads, stats, new_G), _ = jax.lax.scan(
             accum_step, (zero_grads, zero_stats, state.G),
             (fake_lr_chunks, chunk(fake_lr_crop), chunk(real_lr_crop),
-             chunk(real_hr_video), keys))
+             chunk(real_hr_video), keys),
+            unroll=max(1, min(int(self.accum_unroll), accum)))
         state = state.replace(G=new_G)
 
         grads = scrub_grads(grads, gain=1.0 / accum)
@@ -346,7 +367,8 @@ class SuperResVideoGAN:
         zero_stats = {k: jnp.zeros(3) for k in ("loss/r1_penalty", "loss/r1_loss")}
         keys = jax.random.split(k_steps, accum)
         (grads, stats), _ = jax.lax.scan(accum_step, (zero_grads, zero_stats),
-                                         (chunk(lr_video), chunk(hr_video), keys))
+                                         (chunk(lr_video), chunk(hr_video), keys),
+                                         unroll=max(1, min(int(self.accum_unroll), accum)))
 
         grads = scrub_grads(grads, gain=gain / accum)
         lrate = warmup_lrate(self.D_lrate, state.step, self.D_warmup_steps)

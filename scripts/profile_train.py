@@ -31,6 +31,7 @@ def main():
     ap.add_argument("--accum", type=int, default=None)
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--block-remat", action="store_true")
+    ap.add_argument("--unroll-accum", type=int, default=1)
     ap.add_argument("--trace", type=str, default=None,
                     help="dump an xplane trace to this dir and print the "
                          "grouped + top-op device-time summary")
@@ -57,6 +58,7 @@ def main():
             seq_length=seq, temporal_context=ctx,
             lr_height=36, lr_width=64, hr_height=144, hr_width=256,
             total_batch=total_batch, G_grad_accum=accum, D_grad_accum=accum,
+            accum_unroll=args.unroll_accum,
             r1_gamma=1.0,
             G_kwargs=dict(num_fp16_res=4, resample_impl="auto",
                           block_remat=args.block_remat),
@@ -86,6 +88,7 @@ def main():
         gan = LowResVideoGAN(
             seq_length=seq, height=36, width=64, total_batch=total_batch,
             G_grad_accum=accum, D_grad_accum=accum,
+            accum_unroll=args.unroll_accum,
             G_random_temp_translate=True, temp_scale_augment=1.0,
             r1_gamma=1.0,
             G_kwargs=dict(num_fp16_layers=0, temporal_padding=8,
@@ -128,6 +131,7 @@ def main():
         print(json.dumps(r), flush=True)
     print(json.dumps({"config": args.config, "grad_accum": accum,
                       "block_remat": args.block_remat,
+                      "accum_unroll": args.unroll_accum,
                       "amortized_sec_per_step": round(step_total, 3)}),
           flush=True)
 
