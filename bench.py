@@ -94,6 +94,35 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    # Pre-headline guard: the bench must validate what it times. Run the one
+    # geometry where a Mosaic scratch-reuse miscompile silently corrupted
+    # production output for two rounds (L3, 31x38 conv input, up4, bf16 —
+    # BASELINE.md round 4) with the impl the timed run will actually use, and
+    # refuse to print a headline number if it fails. Full sweep remains
+    # available via --selftest. Reference analog: dual impls compared at
+    # runtime (/root/reference/torch_utils/ops/filtered_lrelu.py:121-153).
+    guard_impl = {"auto": "packed", "packed": "packed", "pallas": "packed",
+                  "fused": "fused"}.get(args.impl)
+    if guard_impl is not None:
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                        "scripts"))
+        from tpu_selftest import run_selftest
+
+        if not run_selftest(impls=(guard_impl,), frames=8, layer_indices=(3,)):
+            print(json.dumps({
+                "metric": "sres_synthesis_frames_per_sec_per_chip_256x144",
+                "value": None,
+                "unit": "frames/s",
+                "vs_baseline": None,
+                "error": "kernel-selftest-failed",
+                "detail": f"impl={guard_impl} failed the L3 31x38 up4 guard "
+                          f"geometry on this device; run `python bench.py "
+                          f"--selftest` for the full sweep",
+            }), flush=True)
+            sys.exit(1)
+
     from long_video_gan_tpu.models.generator_sres import VideoGenerator
 
     segment = args.segment

@@ -36,7 +36,14 @@ TOLS = {"bfloat16": (0.03, 0.06), "float32": (1e-4, 1e-3)}
 
 def run_selftest(impls=("packed", "fused"), frames: int = 24,
                  verbose: bool = True, img_width: int = 256,
-                 img_height: int = 144, channel_max: int = 512) -> bool:
+                 img_height: int = 144, channel_max: int = 512,
+                 layer_indices=None) -> bool:
+    """Validate kernel impls against the composed `matrix` oracle on-device.
+
+    `layer_indices` restricts the sweep to those production layer indices —
+    used by bench.py's pre-headline guard, which checks the single geometry
+    (L3, 31x38 conv input, up4, bf16) where a Mosaic scratch-reuse miscompile
+    silently corrupted output for two rounds (BASELINE.md round 4)."""
     import importlib
 
     import jax
@@ -70,6 +77,8 @@ def run_selftest(impls=("packed", "fused"), frames: int = 24,
     all_ok = True
     seen = set()
     for li, layer in enumerate(layers):
+        if layer_indices is not None and li not in layer_indices:
+            continue
         if layer.up_factor == 1 and layer.down_factor == 1:
             continue  # trivial resample short-circuits to the composed path
         h_in, w_in = int(layer.in_size[1]), int(layer.in_size[0])

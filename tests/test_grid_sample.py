@@ -92,6 +92,7 @@ def test_exact_integer_and_boundary_coords(rng):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
 
 
+@pytest.mark.oracle
 def test_matches_torch_oracle(rng):
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F

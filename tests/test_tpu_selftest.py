@@ -45,6 +45,26 @@ def test_selftest_detects_injected_fault(monkeypatch):
     assert not tpu_selftest.run_selftest(impls=("packed",), **SMALL)
 
 
+def test_selftest_layer_filter_still_has_teeth(monkeypatch):
+    # bench.py's pre-headline guard restricts the sweep to one layer index
+    # (the previously-miscompiled L3 geometry); the filtered run must still
+    # exercise a real geometry and catch a fault there.
+    orig = flr_mod.filtered_lrelu
+
+    def faulty(x, *args, impl="conv", **kwargs):
+        out = orig(x, *args, impl="matrix" if impl == "packed" else impl, **kwargs)
+        if impl == "packed":
+            out = out * 1.2
+        return out
+
+    monkeypatch.setattr(flr_mod, "filtered_lrelu", faulty)
+    assert not tpu_selftest.run_selftest(impls=("packed",), layer_indices=(3,),
+                                         **SMALL)
+    monkeypatch.setattr(flr_mod, "filtered_lrelu", orig)
+    assert tpu_selftest.run_selftest(impls=("matrix",), layer_indices=(3,),
+                                     **SMALL)
+
+
 SMALL_MODEL = dict(segment=2, hr=(128, 72), lr=(32, 18), channel_max=32)
 
 

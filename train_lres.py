@@ -248,10 +248,14 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
                    "residual memory, enabling larger micro-batches")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
+@click.option("--unroll-accum", type=int, default=1,
+              help="Unroll factor for the grad-accumulation scans. >1 removes "
+                   "the scan carry relayout copies at the cost of compile time "
+                   "+ peak HBM. See BASELINE.md round-5 training table.")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
          resume, total_steps, remat, block_remat, fp16_layers, matmul_precision,
-         use_wandb):
+         unroll_accum, use_wandb):
     """Train a low-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -264,6 +268,7 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     if total_steps is not None:
         c.total_steps = total_steps
     c.gan_kwargs.remat = remat
+    c.gan_kwargs.accum_unroll = unroll_accum
     c.gan_kwargs.G_kwargs.block_remat = block_remat
     c.matmul_precision = matmul_precision
 

@@ -263,9 +263,16 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
                    "see BASELINE.md) — useful only if a config OOMs otherwise")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
+@click.option("--unroll-accum", type=int, default=1,
+              help="Unroll factor for the grad-accumulation scans. >1 removes "
+                   "the scan carry relayout copies (39.6% of update_G device "
+                   "time at unroll 1) at the cost of compile time + peak HBM; "
+                   "full unroll OOMs at the reference config. See BASELINE.md "
+                   "round-5 training table for measured settings.")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, remat, block_remat, matmul_precision, use_wandb):
+         resume, total_steps, remat, block_remat, matmul_precision, unroll_accum,
+         use_wandb):
     """Train a super-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -277,6 +284,7 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     if total_steps is not None:
         c.total_steps = total_steps
     c.gan_kwargs.remat = remat
+    c.gan_kwargs.accum_unroll = unroll_accum
     c.gan_kwargs.G_kwargs.block_remat = block_remat
     c.matmul_precision = matmul_precision
 
