@@ -25,7 +25,27 @@ def _load_native():
         from . import jpeg_native
 
         _native = jpeg_native
+        return _native
     except Exception:
+        pass
+    # Not built yet: build on first use, like the reference builds its CUDA
+    # extensions on demand (/root/reference/torch_utils/custom_ops.py:59-157).
+    # The build is atomic (compile to temp + rename), so a concurrent build in
+    # another process at worst duplicates a few seconds of g++ work.
+    try:
+        from ..native.build import build
+
+        build(verbose=False)
+        from . import jpeg_native
+
+        _native = jpeg_native
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"native JPEG decoder unavailable ({type(e).__name__}: {e}); "
+            "falling back to PIL (~3.5x slower batch decode). Build manually "
+            "with `python -m long_video_gan_tpu.native.build`.")
         _native = None
     return _native
 

@@ -16,15 +16,25 @@ NATIVE_DIR = Path(__file__).parent
 
 
 def build(verbose: bool = True) -> Path:
+    import os
+
     src = NATIVE_DIR / "jpeg_decoder.cpp"
     out = NATIVE_DIR / "libjpeg_decoder.so"
+    # Compile to a temp name + rename: atomic against concurrent builders
+    # (data loader workers in several processes may race on first use).
+    tmp = NATIVE_DIR / f".libjpeg_decoder.{os.getpid()}.so"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        str(src), "-o", str(out), "-ljpeg", "-lpthread",
+        str(src), "-o", str(tmp), "-ljpeg", "-lpthread",
     ]
     if verbose:
         print(" ".join(cmd))
-    subprocess.run(cmd, check=True)
+    try:
+        subprocess.run(cmd, check=True,
+                       capture_output=not verbose)
+        os.replace(tmp, out)
+    finally:
+        tmp.unlink(missing_ok=True)
     return out
 
 

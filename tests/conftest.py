@@ -40,6 +40,20 @@ assert jax.devices()[0].platform == "cpu" and len(jax.devices()) == 8
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# Build the native JPEG decoder up front so test_native_jpeg runs instead of
+# skipping (production builds it on first use in data/jpeg._load_native; the
+# suite should exercise the same artifact it would build).
+try:
+    from pathlib import Path as _Path
+
+    from long_video_gan_tpu.native.build import build as _build_native
+
+    if not (_Path(_build_native.__code__.co_filename).parent
+            / "libjpeg_decoder.so").is_file():
+        _build_native(verbose=False)
+except Exception as _e:  # missing g++/libjpeg: the test module will skip
+    print(f"conftest: native JPEG build unavailable ({_e})")
+
 REFERENCE_DIR = "/root/reference"
 
 # ----------------------------------------------------------------- test tiers
