@@ -175,14 +175,12 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
-    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
-
-    init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
-
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", choices=["lres", "sres", "both"], default="both")
-    ap.add_argument("--lres-accum", type=int, default=16)
+    # Defaults are the round-5 measured-best single-chip configs (BASELINE.md
+    # round-5 training table): lres micro-batch 8 needs fp16-layers >= 4 to
+    # fit (fp16 0 OOMs by 1.25 GB); sres micro-batch 8 / rolled scan is best.
+    ap.add_argument("--lres-accum", type=int, default=8)
     ap.add_argument("--sres-accum", type=int, default=4)
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--remat", action="store_true")
@@ -191,12 +189,18 @@ def main():
                          "(1 = rolled; full unroll OOMs at the sres config)")
     ap.add_argument("--block-remat", action="store_true",
                     help="per-block rematerialization inside the generators")
-    ap.add_argument("--lres-fp16-layers", type=int, default=0,
+    ap.add_argument("--lres-fp16-layers", type=int, default=6,
                     help="run the last N lres generator layers in bf16 "
                          "(reference opt-in, model/generator_lres.py:694-696; "
                          "halves the late-layer block-input residuals that "
                          "cap the micro-batch)")
     args = ap.parse_args()
+
+    # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
+    # (After argparse, so `--help` never touches the single-client tunnel.)
+    from long_video_gan_tpu.utils.backend import init_backend_with_watchdog
+
+    init_backend_with_watchdog(float(os.environ.get("LVG_INIT_TIMEOUT", "120")))
 
     if args.config in ("lres", "both"):
         print(json.dumps(bench_lres(args.lres_accum, args.steps, args.remat,

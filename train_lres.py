@@ -239,13 +239,17 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
 @click.option("--remat", is_flag=True, default=False,
               help="Rematerialize G/D forwards in backward (fits bigger micro-batches)")
 @click.option("--block-remat", is_flag=True, default=False,
-              help="Per-block rematerialization inside G. Recommended for lres: "
-                   "lifts micro-batch 2->4, 85.9 -> 34.1 sec/step on v5e "
-                   "(use with --grad-accum 16; see BASELINE.md)")
+              help="Per-block rematerialization inside G. Lifts the fit "
+                   "ceiling micro-batch 2->4 at f32, but --fp16-layers 6 "
+                   "lifts it to micro-batch 8 WITHOUT recompute and runs "
+                   "2.8x faster (6.13 vs 17.31 sec/step on v5e; "
+                   "BASELINE.md round 5) — prefer --fp16-layers")
 @click.option("--fp16-layers", type=int, default=0,
               help="Run the last N generator layers in bf16 (reference opt-in "
                    "model/generator_lres.py:694-696); halves late-layer "
-                   "residual memory, enabling larger micro-batches")
+                   "residual memory. Recommended on v5e: 6 with --grad-accum "
+                   "8 (micro-batch 8 fits without remat, 6.13 sec/step "
+                   "single-chip; micro-batch 8 OOMs at fp16-layers 0)")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--unroll-accum", type=int, default=1,
