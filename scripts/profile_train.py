@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--steps", type=int, default=4)
     ap.add_argument("--block-remat", action="store_true")
     ap.add_argument("--unroll-accum", type=int, default=1)
+    ap.add_argument("--lres-fp16-layers", type=int, default=0,
+                    help="num_fp16_layers for the lres G (the measured-best "
+                         "micro-batch-8 config needs >= 4 to fit on v5e; "
+                         "BASELINE.md round 5)")
     ap.add_argument("--trace", type=str, default=None,
                     help="dump an xplane trace to this dir and print the "
                          "grouped + top-op device-time summary")
@@ -91,7 +95,7 @@ def main():
             accum_unroll=args.unroll_accum,
             G_random_temp_translate=True, temp_scale_augment=1.0,
             r1_gamma=1.0,
-            G_kwargs=dict(num_fp16_layers=0, temporal_padding=8,
+            G_kwargs=dict(num_fp16_layers=args.lres_fp16_layers, temporal_padding=8,
                           temporal_emb_dim=1024, block_remat=args.block_remat),
             D_kwargs=dict(num_fp16_res=0),
         )
