@@ -57,7 +57,8 @@ except Exception as _e:  # missing g++/libjpeg: the test module will skip
 REFERENCE_DIR = "/root/reference"
 
 # ----------------------------------------------------------------- test tiers
-# smoke: full signal in < 2 min on one core (pytest -m smoke).
+# smoke: full signal in ~6 min on one core (pytest -m smoke) — includes one
+#        real (tiny) trainer step, which is most of the time.
 # oracle: numerical comparisons against the PyTorch reference checkout.
 # slow: heavy compiles (full-size models, multi-step training, Pallas).
 _ORACLE_MODULES = {
