@@ -36,7 +36,7 @@ def _peak_hbm_gb():
 
 def bench_lres(accum: int, steps: int, remat: bool = False,
                block_remat: bool = False, fp16_layers: int = 0,
-               accum_unroll: int = 1) -> dict:
+               accum_unroll: int = 1, d_fp16_res: int = 0) -> dict:
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -52,7 +52,7 @@ def bench_lres(accum: int, steps: int, remat: bool = False,
         r1_gamma=1.0, remat=remat, accum_unroll=accum_unroll,
         G_kwargs=dict(num_fp16_layers=fp16_layers, temporal_padding=8,
                       temporal_emb_dim=1024, block_remat=block_remat),
-        D_kwargs=dict(num_fp16_res=0),
+        D_kwargs=dict(num_fp16_res=d_fp16_res),
     )
     state = gan.init_state(jax.random.key(0))
     rng = np.random.default_rng(0)
@@ -98,6 +98,7 @@ def bench_lres(accum: int, steps: int, remat: bool = False,
         "block_remat": block_remat,
         "accum_unroll": accum_unroll,
         "fp16_layers": fp16_layers,
+        "d_fp16_res": d_fp16_res,
         "peak_hbm_gb": _peak_hbm_gb(),
     }
 
@@ -194,6 +195,11 @@ def main():
                          "(reference opt-in, model/generator_lres.py:694-696; "
                          "halves the late-layer block-input residuals that "
                          "cap the micro-batch)")
+    ap.add_argument("--lres-d-fp16-res", type=int, default=0,
+                    help="run the first N lres discriminator blocks in bf16 "
+                         "(reference opt-in per-block fp16 ladder, "
+                         "model/discriminator_lres.py:432-445; the lres step "
+                         "is D-dominated — BASELINE.md round-5 phase table)")
     args = ap.parse_args()
 
     # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.
@@ -205,7 +211,7 @@ def main():
     if args.config in ("lres", "both"):
         print(json.dumps(bench_lres(args.lres_accum, args.steps, args.remat,
                                     args.block_remat, args.lres_fp16_layers,
-                                    args.unroll_accum)),
+                                    args.unroll_accum, args.lres_d_fp16_res)),
               flush=True)
     if args.config in ("sres", "both"):
         print(json.dumps(bench_sres(args.sres_accum, args.steps, args.remat,

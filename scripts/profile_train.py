@@ -36,6 +36,9 @@ def main():
                     help="num_fp16_layers for the lres G (the measured-best "
                          "micro-batch-8 config needs >= 4 to fit on v5e; "
                          "BASELINE.md round 5)")
+    ap.add_argument("--lres-d-fp16-res", type=int, default=0,
+                    help="num_fp16_res for the lres D (per-block bf16 ladder; "
+                         "the lres step is D-dominated — BASELINE.md round 5)")
     ap.add_argument("--trace", type=str, default=None,
                     help="dump an xplane trace to this dir and print the "
                          "grouped + top-op device-time summary")
@@ -97,7 +100,7 @@ def main():
             r1_gamma=1.0,
             G_kwargs=dict(num_fp16_layers=args.lres_fp16_layers, temporal_padding=8,
                           temporal_emb_dim=1024, block_remat=args.block_remat),
-            D_kwargs=dict(num_fp16_res=0),
+            D_kwargs=dict(num_fp16_res=args.lres_d_fp16_res),
         )
         state = gan.init_state(jax.random.key(0))
         rng = np.random.default_rng(0)

@@ -250,6 +250,12 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
                    "residual memory. Recommended on v5e: 6 with --grad-accum "
                    "8 (micro-batch 8 fits without remat, 6.13 sec/step "
                    "single-chip; micro-batch 8 OOMs at fp16-layers 0)")
+@click.option("--d-fp16-res", type=int, default=0,
+              help="Run the first N discriminator blocks in bf16 (reference "
+                   "opt-in per-block fp16 ladder, model/discriminator_lres.py"
+                   ":432-445; off in the released recipe). The lres step is "
+                   "D-dominated on v5e (update_D 51%, BASELINE.md round 5), "
+                   "so this is the remaining measured throughput lever.")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--unroll-accum", type=int, default=1,
@@ -258,8 +264,8 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
                    "+ peak HBM. See BASELINE.md round-5 training table.")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
 def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, remat, block_remat, fp16_layers, matmul_precision,
-         unroll_accum, use_wandb):
+         resume, total_steps, remat, block_remat, fp16_layers, d_fp16_res,
+         matmul_precision, unroll_accum, use_wandb):
     """Train a low-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -274,6 +280,7 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     c.gan_kwargs.remat = remat
     c.gan_kwargs.accum_unroll = unroll_accum
     c.gan_kwargs.G_kwargs.block_remat = block_remat
+    c.gan_kwargs.D_kwargs.num_fp16_res = d_fp16_res
     c.matmul_precision = matmul_precision
 
     from long_video_gan_tpu.parallel.multihost import (
