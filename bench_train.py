@@ -195,11 +195,13 @@ def main():
                          "(reference opt-in, model/generator_lres.py:694-696; "
                          "halves the late-layer block-input residuals that "
                          "cap the micro-batch)")
-    ap.add_argument("--lres-d-fp16-res", type=int, default=0,
+    ap.add_argument("--lres-d-fp16-res", type=int, default=2,
                     help="run the first N lres discriminator blocks in bf16 "
                          "(reference opt-in per-block fp16 ladder, "
-                         "model/discriminator_lres.py:432-445; the lres step "
-                         "is D-dominated — BASELINE.md round-5 phase table)")
+                         "model/discriminator_lres.py:432-445). The lres step "
+                         "is D-dominated and the first two blocks carry the "
+                         "FLOPs: 2 is the measured-best (6.13 -> 5.13 "
+                         "sec/step; 4 is a no-op over 2 — BASELINE.md r5)")
     args = ap.parse_args()
 
     # A dead axon tunnel must yield a one-line diagnosis, not a silent hang.

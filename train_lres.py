@@ -254,8 +254,9 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
               help="Run the first N discriminator blocks in bf16 (reference "
                    "opt-in per-block fp16 ladder, model/discriminator_lres.py"
                    ":432-445; off in the released recipe). The lres step is "
-                   "D-dominated on v5e (update_D 51%, BASELINE.md round 5), "
-                   "so this is the remaining measured throughput lever.")
+                   "D-dominated on v5e (update_D 51%); recommended: 2, the "
+                   "measured-best (6.13 -> 5.13 sec/step single-chip with "
+                   "--fp16-layers 6; 4 buys nothing over 2 — BASELINE.md r5)")
 @click.option("--matmul-precision", type=click.Choice(["default", "high", "highest"]),
               default="default", help="'highest' == reference's TF32-off f32 matmuls")
 @click.option("--unroll-accum", type=int, default=1,
