@@ -151,6 +151,8 @@ def compute_feature_stats_for_generator(
 
     Protocols covered:
       * single-stage lres G (lr-only metrics),
+      * sres G conditioned on real lr clips from `opts.cond_dataset_kwargs`
+        (in-training sres metrics, reference :351-358,409-423),
       * two-stage lres -> sres: the lres G generates
         seq*spacing + 2*context + total_temporal_scale frames, a random
         temporal offset crops away the extra frames so statistics are
@@ -187,7 +189,49 @@ def compute_feature_stats_for_generator(
             lr = jax.lax.dynamic_slice_in_dim(lr, off, gen_len + 2 * context, axis=2)
             z = jax.random.normal(k3, (batch, sr_module.latent_z_dim))
             hr = sres_apply(sr_vars, lr, z)
-            return np.asarray(hr)
+            return np.asarray(hr), None
+    elif opts.cond_dataset_kwargs:
+        # In-training sres metrics: G is the super-res generator conditioned
+        # on REAL lr clips drawn from the cond dataset (reference
+        # metric_utils.py:351-358 builds the dataset, :409-423 samples it).
+        # Image metrics (seq 1) draw per-frame windows without replacement
+        # with per-video weighting; video metrics sample clips with
+        # replacement until the stats are full.
+        from ..data.dataset import VideoDataset, VideoDatasetPerImage
+
+        module, variables = opts.G
+        context = module.temporal_context
+        cond_kwargs = dict(opts.cond_dataset_kwargs)
+        cond_kwargs["seq_length"] = gen_len + 2 * context
+        video_metric = seq_length > 1
+        ds = (VideoDataset(**cond_kwargs) if video_metric
+              else VideoDatasetPerImage(**cond_kwargs))
+        order = rng.permutation(len(ds))
+        cursor = {"i": 0}
+        sres_apply = jax.jit(lambda v, lr, z: module.apply(v, lr, z=z))
+
+        def sample_batch(key):
+            items = []
+            while len(items) < batch:
+                if video_metric:
+                    idx = int(order[cursor["i"] % len(order)])
+                elif cursor["i"] >= len(order):
+                    break  # finite per-image dataset exhausted
+                else:
+                    idx = int(order[cursor["i"]])
+                cursor["i"] += 1
+                items.append(ds.sample(idx, rng))
+            if not items:
+                return None, None
+            lr = np.stack([it["video"] for it in items])
+            z = jax.random.normal(key, (len(items), module.latent_z_dim))
+            hr = sres_apply(variables, lr, z)
+            weights = None
+            if not video_metric and opts.normalize_weighting and \
+                    "num_samples_from_source" in items[0]:
+                weights = np.asarray(
+                    [1.0 / it["num_samples_from_source"] for it in items])
+            return np.asarray(hr), weights
     else:
         module, variables = opts.G
         extra = module.total_temporal_scale
@@ -200,19 +244,21 @@ def compute_feature_stats_for_generator(
             video = apply_fn(variables, k1)
             off = int(jax.random.randint(k2, (), 0, extra + 1))
             video = jax.lax.dynamic_slice_in_dim(video, off, gen_len, axis=2)
-            return np.asarray(video)
+            return np.asarray(video), None
 
     i = 0
     while not stats.is_full():
         key = jax.random.key(opts.seed * 100003 + i)
-        video = sample_batch(key)                                   # [N, C, T', H, W]
+        video, weights = sample_batch(key)                          # [N, C, T', H, W]
+        if video is None:  # finite cond dataset exhausted (image metrics)
+            break
         video = video[:, :, ::frame_spacing * subsample_factor][:, :, :seq_length]
         videos = _to_uint8(video)
         if seq_length > 1:
             feats = detector(videos, **detector_kwargs)
         else:
             feats = detector(videos[:, :, 0], **detector_kwargs)
-        stats.append(feats)
+        stats.append(feats, weights=weights)
         if opts.verbose:
             print(f"  generator features: {stats.num_items}")
         i += 1

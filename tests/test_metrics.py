@@ -158,3 +158,46 @@ def test_is_metric(metric_env, tmp_path):
         detector="stub:8", batch_size=8, max_items_override=16,
         cache_dir=str(tmp_path / "cache"))
     assert result["results"]["is50k_mean"] >= 1.0
+
+
+def test_fvd_cond_dataset_mode(metric_env, tmp_path):
+    """sres G conditioned on REAL lr clips (the in-training sres metric path,
+    reference metric_utils.py:351-358,409-423): cond_dataset_kwargs set, no
+    lr_G — the conditioning windows come from the dataset."""
+    from long_video_gan_tpu.metrics import metric_main
+    from long_video_gan_tpu.metrics.metric_main import _compute_fvd, register_metric
+
+    if not metric_main.is_valid_metric("fvd_tiny_cond_test"):
+        @register_metric
+        def fvd_tiny_cond_test(opts):
+            return dict(fvd_tiny_cond_test=_compute_fvd(opts, max_real=8, num_gen=8,
+                                                        num_frames=4))
+
+    result = metric_main.calc_metric(
+        metric="fvd_tiny_cond_test",
+        G=metric_env["sres"],
+        dataset_kwargs=dict(dataset_dir=metric_env["root"], seq_length=1,
+                            height=32, width=64),
+        cond_dataset_kwargs=dict(dataset_dir=metric_env["root"], seq_length=1,
+                                 height=8, width=16),
+        detector="stub:16", batch_size=4, max_items_override=8,
+        cache_dir=str(tmp_path / "cache"))
+    val = result["results"]["fvd_tiny_cond_test"]
+    assert np.isfinite(val) and val >= 0
+
+
+def test_fid_cond_dataset_mode(metric_env, tmp_path):
+    """Image metric through the cond path: per-frame windows drawn without
+    replacement with per-video weighting (reference :418-423)."""
+    from long_video_gan_tpu.metrics import metric_main
+
+    result = metric_main.calc_metric(
+        metric="fid50k_full",
+        G=metric_env["sres"],
+        dataset_kwargs=dict(dataset_dir=metric_env["root"], seq_length=1,
+                            height=32, width=64),
+        cond_dataset_kwargs=dict(dataset_dir=metric_env["root"], seq_length=1,
+                                 height=8, width=16),
+        detector="stub:16", batch_size=4, max_items_override=8,
+        cache_dir=str(tmp_path / "cache"))
+    assert np.isfinite(result["results"]["fid50k_full"])

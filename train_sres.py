@@ -196,6 +196,8 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
                     for metric in c.metrics:
                         result = metric_main.calc_metric(
                             metric=metric, G=(gan.G, host_state.G_ema),
+                            detector=c.get("metric_detector"),
+                            max_items_override=c.get("metric_items"),
                             dataset_kwargs=dict(dataset_dir=c.dataset_dir, seq_length=1,
                                                 height=c.hr_height, width=c.hr_width),
                             cond_dataset_kwargs=dict(dataset_dir=c.dataset_dir, seq_length=1,
@@ -251,6 +253,13 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
 @click.option("--grad-accum", type=int, default=1)
 @click.option("--gamma", "r1_gamma", type=float, default=1.0)
 @click.option("--metric", "-m", "metrics", type=str, default=[], multiple=True)
+@click.option("--metric-detector", type=str, default=None,
+              help='Detector override for in-training metrics, e.g. "stub:64" '
+                   "for detector-less smoke runs (default: the real detector "
+                   "files, see metrics/detectors.py)")
+@click.option("--metric-items", type=int, default=None,
+              help="Cap real/generated feature counts of in-training metrics "
+                   "(smoke runs; default: each metric's full protocol)")
 @click.option("--preset", type=click.Choice(["full", "tiny"]), default="full")
 @click.option("--seed", type=int, default=None)
 @click.option("--resume", type=str, default=None)
@@ -270,9 +279,9 @@ def train(c, run_dir: str, seed: int, resume: str | None, use_wandb: bool):
                    "full unroll OOMs at the reference config. See BASELINE.md "
                    "round-5 training table for measured settings.")
 @click.option("--wandb", "use_wandb", is_flag=True, default=False)
-def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset, seed,
-         resume, total_steps, remat, block_remat, matmul_precision, unroll_accum,
-         use_wandb):
+def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics,
+         metric_detector, metric_items, preset, seed, resume, total_steps, remat, block_remat,
+         matmul_precision, unroll_accum, use_wandb):
     """Train a super-resolution LongVideoGAN network.
 
     Example (full config, matching the reference 8-GPU recipe):
@@ -287,6 +296,8 @@ def main(outdir, dataset_dir, total_batch, grad_accum, r1_gamma, metrics, preset
     c.gan_kwargs.accum_unroll = unroll_accum
     c.gan_kwargs.G_kwargs.block_remat = block_remat
     c.matmul_precision = matmul_precision
+    c.metric_detector = metric_detector
+    c.metric_items = metric_items
 
     from long_video_gan_tpu.parallel.multihost import (
         is_main_process, maybe_initialize_distributed)
