@@ -30,10 +30,13 @@ import click
 @click.option("--max-items", type=int, default=None,
               help="Cap real/generated feature counts (validation/smoke runs)")
 @click.option("--output", type=str, default=None, help="JSONL output path")
+@click.option("--replace-cache", is_flag=True, default=False,
+              help="Recompute the dataset feature stats instead of reusing the "
+                   "blake2b-keyed cache (reference calc_metrics.py:29)")
 @click.option("--seed", type=int, default=0)
 @click.option("--verbose", is_flag=True, default=False)
 def main(metrics, sres_path, lres_path, dataset_dir, num_runs, batch_size, detector,
-         max_items, output, seed, verbose):
+         max_items, output, replace_cache, seed, verbose):
     import jax
 
     if os.environ.get("LVG_PLATFORM"):
@@ -51,7 +54,8 @@ def main(metrics, sres_path, lres_path, dataset_dir, num_runs, batch_size, detec
     lres_G, lres_vars, _ = load_generator(lres_path)
 
     kwargs = dict(num_runs=num_runs, batch_size=batch_size, seed=seed, verbose=verbose,
-                  detector=detector, max_items_override=max_items)
+                  detector=detector, max_items_override=max_items,
+                  replace_cache=replace_cache)
     if sres_path is not None:
         sres_G, sres_vars, _ = load_generator(sres_path)
         kwargs.update(

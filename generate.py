@@ -27,13 +27,17 @@ import numpy as np
 @click.option("--segment-length", type=int, default=16)
 @click.option("--save-lres", is_flag=True, default=False, help="Also write the low-res video")
 @click.option("--save-frames", is_flag=True, default=False, help="Write per-frame PNGs")
+@click.option("--save-index", "-i", "save_frame_indices", type=int, multiple=True,
+              default=[], help="Frame indices to also save as PNGs (reference "
+                               "generate.py:26; --save-frames writes all)")
 @click.option("--truncation-psi", type=float, default=1.0)
 @click.option("--prefetch", type=int, default=1,
               help="sres segments dispatched ahead of the one being consumed "
                    "(device synthesizes while the host encodes; each costs "
                    "one hr segment of HBM)")
 def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
-         segment_length, save_lres, save_frames, truncation_psi, prefetch):
+         segment_length, save_lres, save_frames, save_frame_indices,
+         truncation_psi, prefetch):
     import jax
     import jax.numpy as jnp
 
@@ -78,12 +82,21 @@ def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
                                                      rngs={"noise": rng}))
     lr_video = lres_apply(lres_vars, k_lres)
 
+    save_frame_indices = sorted({i for i in save_frame_indices if 0 <= i < num_frames})
+
+    def save_indexed_frame(video_nchw, index):
+        frame_out = out_path.with_name(f"{out_path.stem}-frame{index:04d}.png")
+        save_image_grid(video_nchw, frame_out)
+        print(f"Wrote {frame_out}")
+
     if save_lres or sres_path is None:
         lr_out = out_path.with_name(out_path.stem + "-lres" + out_path.suffix)
         t0 = temporal_context
         write_video_grid(np.asarray(lr_video[:, :, t0:t0 + num_frames]), lr_out, fps=fps)
         print(f"Wrote {lr_out}")
         if sres_path is None:
+            for i in save_frame_indices:
+                save_indexed_frame(np.asarray(lr_video[:, :, t0 + i]), i)
             return
 
     print(f"Super-resolving in segments of {segment_length} ...")
@@ -108,6 +121,9 @@ def main(lres_path, sres_path, output, seed, num_frames, fps, batch_size,
             frames_dir.mkdir(parents=True, exist_ok=True)
             for t in range(seg.shape[2]):
                 save_image_grid(seg[:, :, t], frames_dir / f"{written + t:06d}.png")
+        for i in save_frame_indices:
+            if written <= i < written + keep:
+                save_indexed_frame(seg[:, :, i - written], i)
         written += keep
         print(f"  {written}/{num_frames} frames")
 

@@ -72,6 +72,7 @@ _SLOW_MODULES = {
     "test_generators", "test_temporal_sharding", "test_multihost",
     "test_pallas_fused", "test_i3d", "test_inception_v3", "test_metrics",
     "test_c3d", "test_accept_reference", "test_tpu_selftest",
+    "test_generate_cli",
 }
 
 collect_ignore = ["multihost_worker.py"]
